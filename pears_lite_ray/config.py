@@ -1,0 +1,76 @@
+"""Build/query configuration constants.
+
+BM25 parameters fixed by BASELINE.json ``north_rule`` (k1=1.2, b=0.75).
+Reference facts cited from the SURVEY: the reference's vocabulary is the
+16k-piece SentencePiece unigram vocab (``app/__init__.py:33-36``), and its
+jusText extraction parameters are at ``app/indexer/htmlparser.py:19-26``.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+# Reference SPM vocab (plain text, piece\tlogprob). Read-only; a committed
+# mini-vocab under resources/ keeps unit tests independent of /root/reference.
+REFERENCE_VOCAB = "/root/reference/app/api/models/en/enwiki.lite.16k.vocab"
+
+# BM25 (north_rule)
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+# Top-k default mirrors the reference's 50-doc cap (score_pages.py:117-135).
+DEFAULT_TOP_K = 50
+
+# jusText-style classifier parameters (htmlparser.py:19-26).
+JUSTEXT_MAX_LINK_DENSITY = 0.3
+JUSTEXT_STOPWORDS_LOW = 0.1
+JUSTEXT_STOPWORDS_HIGH = 0.3
+JUSTEXT_LENGTH_LOW = 30
+JUSTEXT_LENGTH_HIGH = 100
+
+# Index layout
+N_TERM_SHARDS = 16          # segments/termhash=<h>/ directories
+BLOCK_SIZE = 128            # postings per block-max block
+HOT_DF_THRESHOLD = 100_000  # salt terms with df above this (two-stage merge)
+SALT_SHIFT = 18             # doc_id >> SALT_SHIFT is the salt bucket
+
+
+@dataclass
+class BuildConfig:
+    """Configuration for one index build."""
+
+    out_dir: str
+    tokenizer: str = "spm"            # "spm" | "regex"
+    vocab_path: str = REFERENCE_VOCAB
+    languages: tuple[str, ...] = ("en",)
+    keep_positions: bool = True       # positions only needed for "pears" scoring
+    n_shards: int = N_TERM_SHARDS
+    block_size: int = BLOCK_SIZE
+    hot_df_threshold: int = HOT_DF_THRESHOLD
+    salt_shift: int = SALT_SHIFT
+    # actor-pool sizing; (min, max) autoscaling pools
+    tokenize_concurrency: tuple[int, int] | int = (2, 8)
+    extract_concurrency: tuple[int, int] | int = (2, 8)
+    batch_size: int = 2048
+    extra: dict = field(default_factory=dict)
+
+    @property
+    def segments_dir(self) -> str:
+        return os.path.join(self.out_dir, "segments")
+
+    @property
+    def docs_dir(self) -> str:
+        return os.path.join(self.out_dir, "docs")
+
+    @property
+    def staging_dir(self) -> str:
+        return os.path.join(self.out_dir, "staging")
+
+    @property
+    def stats_path(self) -> str:
+        return os.path.join(self.out_dir, "stats.json")
+
+    @property
+    def manifest_dir(self) -> str:
+        return os.path.join(self.out_dir, "manifest")

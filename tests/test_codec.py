@@ -1,0 +1,79 @@
+"""Codec unit tests: varbyte/delta roundtrip, block-max metadata (SURVEY §5.2)."""
+
+import numpy as np
+import pytest
+
+from pears_lite_ray import codec
+
+
+def test_varbyte_known_vectors():
+    # FIXTURES.md §4: single value, dense run, 2^28 gap
+    assert codec.varbyte_encode(np.array([0], dtype=np.uint64)) == b"\x00"
+    assert codec.varbyte_encode(np.array([127], dtype=np.uint64)) == b"\x7f"
+    assert codec.varbyte_encode(np.array([128], dtype=np.uint64)) == b"\x80\x01"
+    big = np.array([1 << 28], dtype=np.uint64)
+    enc = codec.varbyte_encode(big)
+    assert len(enc) == 5
+    assert np.array_equal(codec.varbyte_decode(enc), big)
+
+
+@pytest.mark.parametrize("n", [0, 1, 7, 1000])
+def test_varbyte_roundtrip_random(n):
+    rng = np.random.RandomState(n)
+    vals = rng.randint(0, 1 << 62, size=n).astype(np.uint64) if n else np.empty(0, np.uint64)
+    assert np.array_equal(codec.varbyte_decode(codec.varbyte_encode(vals)), vals)
+
+
+def test_delta_roundtrip():
+    v = np.array([5, 6, 100, 2**40, 2**40 + 1], dtype=np.uint64)
+    assert np.array_equal(codec.delta_decode(codec.delta_encode(v)), v)
+
+
+def _sample_list(n=500, seed=0):
+    rng = np.random.RandomState(seed)
+    docs = np.unique(rng.randint(0, 1 << 40, size=n).astype(np.uint64))
+    m = docs.size
+    tfs = rng.randint(1, 20, size=m).astype(np.uint64)
+    dls = rng.randint(20, 200, size=m)
+    return docs, tfs, dls
+
+
+def test_posting_list_roundtrip_and_blocks():
+    docs, tfs, dls = _sample_list()
+    row = codec.encode_posting_list(
+        docs, tfs, dls, df_total=docs.size, n_docs=10_000, avgdl=60.0,
+        k1=1.2, b=0.75, block_size=128,
+    )
+    d2, t2 = codec.decode_posting_list(row)
+    assert np.array_equal(d2, docs.astype(np.int64))
+    assert np.array_equal(t2, tfs.astype(np.int64))
+    # blocks decode independently and block-max bounds are exact maxima
+    idf = codec.bm25_idf(float(docs.size), 10_000.0)
+    scores = idf * codec.bm25_tf_norm(tfs, dls, 60.0, 1.2, 0.75)
+    for i in range(len(row["block_n"])):
+        bd, bt = codec.decode_block(row, i)
+        s, e = i * 128, min((i + 1) * 128, docs.size)
+        assert np.array_equal(bd, docs[s:e].astype(np.int64))
+        assert row["block_last_doc"][i] == int(docs[e - 1])
+        assert row["block_max_score"][i] == pytest.approx(scores[s:e].max())
+
+
+def test_positions_stream_roundtrip():
+    docs, tfs, dls = _sample_list(50, seed=3)
+    rng = np.random.RandomState(7)
+    positions = [np.sort(rng.choice(500, size=int(t), replace=False)) for t in tfs]
+    row = codec.encode_posting_list(
+        docs, tfs, dls, df_total=docs.size, n_docs=1000, avgdl=50.0,
+        k1=1.2, b=0.75, block_size=16, positions=positions,
+    )
+    dec = codec.decode_positions(row["pos_bytes"], row["df"])
+    assert len(dec) == len(positions)
+    for a, b in zip(dec, positions):
+        assert np.array_equal(a, b.astype(np.int64))
+
+
+def test_bm25_math():
+    # df == N/2 → idf = ln(1 + (N/2+0.5)/(N/2+0.5)) = ln 2
+    assert codec.bm25_idf(50.0, 100.0) == pytest.approx(np.log(2.0))
+    # tf→∞ ⇒ norm → k1+1
+    assert codec.bm25_tf_norm(1e9, 100, 100.0, 1.2, 0.75) == pytest.approx(2.2, rel=1e-6)
