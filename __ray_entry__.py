@@ -1,16 +1,18 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (nor in the library code it calls) calls ``ray.init()`` /
+``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()`` — flagship pipeline on /root/testdata/sf0.001: full
+  inverted-index build over the ``documents`` table (extract → tokenize →
+  postings explode → term groupby shuffle → compressed block-max segments)
+  followed by batch BM25 top-k evaluation of the fixed query set.
+* ``queries()`` — one callable per implemented operator pipeline
+  (SURVEY.md §2 + the training-data operator set: dedup, similarity
+  search, text analysis).
+* ``oracle_sql()`` — DuckDB SQL equivalents where expressible; rows-only
+  ops (minhash/simhash/LSH/langid/fingerprint) intentionally omit SQL.
 """
 
 from __future__ import annotations
@@ -18,27 +20,24 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the documents index at sf0.001 and evaluate the fixed
+    BM25 query set; returns (query_id, doc_id, score) rows."""
+    from pears_lite_ray.pipelines import fulltext
+
+    return fulltext.q_bm25_topk(SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from pears_lite_ray import pipelines
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return pipelines.all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pears_lite_ray import pipelines
+
+    return pipelines.all_oracle_sql()

@@ -1,0 +1,165 @@
+"""Benchmark driver. Prints ONE JSON line:
+
+{"metric": "...", "value": total_sec, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...}
+
+Headline = the input_hint pipeline: deterministic Common-Crawl-style HTML
+corpus (fixtures) → full inverted-index build (extract → SPM tokenize →
+postings shuffle → compressed block-max segments) → BM25 WAND query set.
+Also times every documents/embeddings operator pipeline over $GRAFT_SF_DIR.
+
+--scaling runs the headline build twice in FRESH processes
+(num_cpus=8 then num_cpus=32, same input) and reports both throughputs
+plus efficiency = (rate_32 / rate_8) / 4  (sandbox proxy for N vs 4N
+nodes; BASELINE.json north_rule ≥ 0.8).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CORPUS_DOCS = int(os.environ.get("BENCH_CORPUS_DOCS", "8000"))
+CORPUS_FILES = 16
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _fixture_corpus(n_docs: int) -> list[str]:
+    from pears_lite_ray.sources.fixtures import corpus_cache_dir
+
+    d = corpus_cache_dir(n_docs)
+    return sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+
+
+def headline_build(n_docs: int = CORPUS_DOCS) -> dict:
+    """Fixture-HTML-corpus build + BM25 query evaluation; returns timings."""
+    from pears_lite_ray.config import BuildConfig
+    from pears_lite_ray.index.build import build_index
+    from pears_lite_ray.query.engine import QueryEngine
+    from pears_lite_ray.sources.fixtures import generate_queries
+
+    paths = _fixture_corpus(n_docs)
+    out = tempfile.mkdtemp(prefix="pears_bench_idx_")
+    try:
+        t0 = time.perf_counter()
+        report = build_index(paths, BuildConfig(out_dir=out))
+        build_sec = time.perf_counter() - t0
+
+        eng = QueryEngine(out, mode="bm25")
+        queries = generate_queries()
+        lat = []
+        for q, k in zip(queries["query"].to_pylist(), queries["k"].to_pylist()):
+            t0 = time.perf_counter()
+            eng.search_scores(q, int(k))
+            lat.append(time.perf_counter() - t0)
+        lat.sort()
+        return {
+            "build_sec": round(build_sec, 3),
+            "n_docs": report["n_docs"],
+            "docs_per_sec": round(report["n_docs"] / build_sec, 1),
+            "postings_per_sec": round(report["total_postings"] / build_sec, 1),
+            "query_p50_ms": round(1000 * lat[len(lat) // 2], 3),
+            "query_p95_ms": round(1000 * lat[int(len(lat) * 0.95)], 3),
+        }
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def run_pipeline_suite(sf_dir: str) -> dict[str, float]:
+    """Time every driver-facing operator pipeline at sf_dir."""
+    import __ray_entry__ as entrymod
+
+    timings: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.perf_counter()
+        res = fn(sf_dir)
+        # materialize lazy datasets so the timing covers execution
+        import ray.data as rd
+
+        if isinstance(res, rd.Dataset):
+            res.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scale-child", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--cpus", type=int, default=NUM_CPUS)
+    args = ap.parse_args()
+
+    if args.scale_child:
+        _init_ray(args.cpus)
+        res = headline_build()
+        print(json.dumps(res | {"num_cpus": args.cpus}))
+        return
+
+    if args.scaling:
+        rates = {}
+        detail = {}
+        for cpus in (8, 32):
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--scale-child", "--cpus", str(cpus)],
+                capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            out = json.loads(p.stdout.strip().splitlines()[-1])
+            rates[cpus] = out["docs_per_sec"]
+            detail[f"cpus_{cpus}"] = out
+        eff = (rates[32] / rates[8]) / (32 / 8)
+        print(json.dumps({
+            "metric": "index-build scaling efficiency (8 → 32 CPUs, fresh clusters)",
+            "value": round(eff, 3),
+            "unit": "efficiency",
+            "rate_8cpu_docs_per_sec": rates[8],
+            "rate_32cpu_docs_per_sec": rates[32],
+            "detail": detail,
+            "corpus_docs": CORPUS_DOCS,
+        }))
+        return
+
+    _init_ray(args.cpus)
+    t_total = time.perf_counter()
+    head = headline_build()
+    suite = run_pipeline_suite(SF_DIR)
+    total = round(time.perf_counter() - t_total, 3)
+    queries = {"index_build_and_query": head["build_sec"]} | suite
+    print(json.dumps({
+        "metric": "index-build + BM25 query + operator-suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": args.cpus,
+        "headline": head,
+    }))
+
+
+if __name__ == "__main__":
+    main()
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()

@@ -12,9 +12,9 @@ final byte has MSB clear.
 Block layout (block-max WAND): postings are cut into blocks of
 ``block_size``; each block re-bases its first doc_id (stored as a delta from
 0) so blocks decode independently; per block we keep
-``(last_doc, max_score, doc_off, tf_off, n)`` where ``max_score`` is the
-exact maximum BM25 term score within the block (computed at encode time from
-tf, doclen, df, N, avgdl).
+``(last_doc, max_tfnorm, doc_off, tf_off, n)`` where ``max_tfnorm`` is the
+exact maximum BM25 tf-normalization within the block (idf applied at query
+time: bound = idf(df, N) · max_tfnorm).
 """
 
 from __future__ import annotations
@@ -71,6 +71,101 @@ def varbyte_decode(buf: bytes | memoryview | np.ndarray, count: int | None = Non
     return vals
 
 
+def varbyte_byte_lengths(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value (vectorized)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    nb = np.ones(v.shape, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nb += v >= t
+    return nb
+
+
+def varbyte_encode_split(values: np.ndarray, starts: np.ndarray) -> list[bytes]:
+    """Encode once, slice into ``len(starts)`` chunks at value boundaries.
+
+    ``starts`` are value indices (first must be 0). The hot-path splitter for
+    per-batch partial posting lists: one vectorized encode of the whole
+    batch's stream, then zero-copy byte slicing per term.
+    """
+    buf = varbyte_encode(values)
+    if not len(buf):
+        return [b"" for _ in range(len(starts))]
+    nb = varbyte_byte_lengths(values)
+    byte_off = np.r_[0, np.cumsum(nb)]
+    mv = memoryview(buf)
+    bounds = list(byte_off[starts]) + [len(buf)]
+    return [bytes(mv[bounds[i]:bounds[i + 1]]) for i in range(len(starts))]
+
+
+def encode_positions_stream(counts: np.ndarray, flat_abs: np.ndarray) -> np.ndarray:
+    """Interleaved positions stream values: per posting ``[npos, deltas...]``.
+
+    ``counts[i]`` is the number of positions of posting ``i``; ``flat_abs``
+    is the concatenation of the (ascending) absolute positions. Returns the
+    uint64 value stream ready for :func:`varbyte_encode` /
+    :func:`varbyte_encode_split` (boundary of posting ``i`` in the stream is
+    ``i + cumsum(counts)[:i]``).
+    """
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    flat_abs = np.ascontiguousarray(flat_abs, dtype=np.uint64)
+    n = counts.size
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    offsets = np.r_[0, np.cumsum(counts)]
+    # segmented delta: within each posting first value absolute, rest diffs
+    deltas = flat_abs.copy()
+    if flat_abs.size:
+        deltas[1:] -= flat_abs[:-1]
+        starts = offsets[:-1][counts > 0]
+        deltas[starts] = flat_abs[starts]
+    # interleave counts before each posting's deltas
+    out = np.empty(n + flat_abs.size, dtype=np.uint64)
+    ins = offsets[:-1] + np.arange(n)  # where each count goes
+    out[ins] = counts.astype(np.uint64)
+    mask = np.ones(out.size, dtype=bool)
+    mask[ins] = False
+    out[mask] = deltas
+    return out
+
+
+def decode_positions_stream(
+    flat: np.ndarray, n_postings: int, counts: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`encode_positions_stream` on the *value* stream:
+    returns (counts, flat_abs) with absolute positions restored.
+
+    When ``counts`` is given (callers usually know it: npos per posting ==
+    tf), the count-entry locations are computed vectorized; otherwise a
+    Python scan parses the self-describing stream.
+    """
+    if counts is not None:
+        counts = np.ascontiguousarray(counts, dtype=np.int64)
+        ins = np.r_[0, np.cumsum(counts)][:-1] + np.arange(n_postings)
+        keep = np.ones(flat.size, dtype=bool)
+        keep[ins] = False
+    else:
+        counts = np.empty(n_postings, dtype=np.int64)
+        keep = np.ones(flat.size, dtype=bool)
+        i = 0
+        for k in range(n_postings):
+            c = int(flat[i])
+            counts[k] = c
+            keep[i] = False
+            i += 1 + c
+    deltas = flat[keep].astype(np.uint64)
+    if deltas.size == 0:
+        return counts, np.empty(0, dtype=np.int64)
+    c = np.cumsum(deltas, dtype=np.uint64)
+    offsets = np.r_[0, np.cumsum(counts)][:-1]
+    nz = offsets[counts > 0]
+    base = np.zeros(deltas.size, dtype=np.uint64)
+    # subtract the running total at each posting start so cumsum restarts
+    seg_base = c[nz] - deltas[nz]
+    base[nz] = seg_base
+    np.maximum.accumulate(base, out=base)
+    return counts, (c - base).astype(np.int64)
+
+
 def delta_encode(sorted_vals: np.ndarray) -> np.ndarray:
     """Strictly-increasing int array → gaps (first value kept absolute)."""
     v = np.ascontiguousarray(sorted_vals, dtype=np.uint64)
@@ -103,8 +198,6 @@ def encode_posting_list(
     tfs: np.ndarray,
     doclens: np.ndarray,
     *,
-    df_total: int,
-    n_docs: int,
     avgdl: float,
     k1: float,
     b: float,
@@ -114,86 +207,99 @@ def encode_posting_list(
     """Encode one term's postings (sorted by doc_id) into segment columns.
 
     Returns dict with: df, cf, doc_bytes, tf_bytes, pos_bytes,
-    block_last_doc, block_max_score, block_doc_off, block_tf_off, block_n.
-    ``df_total`` is the term's global df (may exceed len(doc_ids) when a
-    salted sub-list is being encoded — the caller passes the true df so
-    max_score bounds stay correct).
+    block_last_doc, block_max_tfnorm, block_doc_off, block_tf_off, block_n.
+
+    ``block_max_tfnorm`` is the exact per-block maximum of the BM25 tf
+    normalization (idf excluded): the query-time upper bound is
+    ``idf(df, N) * max_tfnorm``. Keeping idf out of the stored bound makes
+    blocks independent of global df/N, so salted sub-lists of a hot term
+    concatenate into a final segment without re-encoding (SURVEY §4.3).
     """
     n = int(doc_ids.size)
-    idf = float(bm25_idf(float(df_total), float(n_docs)))
-    scores = idf * bm25_tf_norm(tfs, doclens, avgdl, k1, b)
+    scores = bm25_tf_norm(tfs, doclens, avgdl, k1, b)
 
     doc_chunks: list[bytes] = []
     tf_chunks: list[bytes] = []
-    blast, bmax, bdoc, btf, bn = [], [], [], [], []
+    dl_chunks: list[bytes] = []
+    blast, bmax, bdoc, btf, bdl, bn = [], [], [], [], [], []
     doc_off = 0
     tf_off = 0
+    dl_off = 0
     for s in range(0, n, block_size):
         e = min(s + block_size, n)
         gaps = delta_encode(doc_ids[s:e])
         db = varbyte_encode(gaps)
         tb = varbyte_encode(tfs[s:e].astype(np.uint64))
+        lb = varbyte_encode(np.asarray(doclens[s:e], dtype=np.uint64))
         doc_chunks.append(db)
         tf_chunks.append(tb)
+        dl_chunks.append(lb)
         blast.append(int(doc_ids[e - 1]))
         bmax.append(float(scores[s:e].max()))
         bdoc.append(doc_off)
         btf.append(tf_off)
+        bdl.append(dl_off)
         bn.append(e - s)
         doc_off += len(db)
         tf_off += len(tb)
+        dl_off += len(lb)
 
     pos_bytes = b""
     if positions is not None:
         # stream: per posting varbyte(npos) then varbyte(delta(positions))
-        parts: list[np.ndarray] = []
-        for p in positions:
-            p = np.ascontiguousarray(p, dtype=np.uint64)
-            parts.append(np.array([p.size], dtype=np.uint64))
-            if p.size:
-                parts.append(delta_encode(p))
-        pos_bytes = varbyte_encode(np.concatenate(parts)) if parts else b""
+        if isinstance(positions, tuple):
+            counts, flat_abs = positions
+        else:
+            counts = np.array([len(p) for p in positions], dtype=np.int64)
+            flat_abs = (
+                np.concatenate([np.asarray(p) for p in positions])
+                if positions else np.empty(0, np.int64)
+            )
+        pos_bytes = varbyte_encode(encode_positions_stream(counts, flat_abs))
 
     return {
         "df": n,
         "cf": int(tfs.sum()),
         "doc_bytes": b"".join(doc_chunks),
         "tf_bytes": b"".join(tf_chunks),
+        "dl_bytes": b"".join(dl_chunks),
         "pos_bytes": pos_bytes,
         "block_last_doc": blast,
-        "block_max_score": bmax,
+        "block_max_tfnorm": bmax,
         "block_doc_off": bdoc,
         "block_tf_off": btf,
+        "block_dl_off": bdl,
         "block_n": bn,
     }
 
 
-def decode_posting_list(row: dict) -> tuple[np.ndarray, np.ndarray]:
-    """Decode a full posting list row → (doc_ids, tfs), both sorted by doc."""
-    doc_arr = np.frombuffer(row["doc_bytes"], dtype=np.uint8)
-    tf_arr = np.frombuffer(row["tf_bytes"], dtype=np.uint8)
-    offs_d = list(row["block_doc_off"]) + [doc_arr.size]
-    offs_t = list(row["block_tf_off"]) + [tf_arr.size]
-    docs_out, tfs_out = [], []
-    for i in range(len(row["block_n"])):
-        gaps = varbyte_decode(doc_arr[offs_d[i]:offs_d[i + 1]])
-        docs_out.append(delta_decode(gaps))
-        tfs_out.append(varbyte_decode(tf_arr[offs_t[i]:offs_t[i + 1]]))
+def decode_posting_list(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a full posting list row → (doc_ids, tfs, doclens), doc-sorted."""
+    parts = [decode_block(row, i) for i in range(len(row["block_n"]))]
     return (
-        np.concatenate(docs_out).astype(np.int64),
-        np.concatenate(tfs_out).astype(np.int64),
+        np.concatenate([p[0] for p in parts]),
+        np.concatenate([p[1] for p in parts]),
+        np.concatenate([p[2] for p in parts]),
     )
 
 
-def decode_block(row: dict, i: int) -> tuple[np.ndarray, np.ndarray]:
-    """Decode block ``i`` only (independent of other blocks)."""
+def decode_block(row: dict, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode block ``i`` only (independent of other blocks) →
+    (doc_ids, tfs, doclens)."""
     doc_arr = np.frombuffer(row["doc_bytes"], dtype=np.uint8)
     tf_arr = np.frombuffer(row["tf_bytes"], dtype=np.uint8)
+    dl_arr = np.frombuffer(row["dl_bytes"], dtype=np.uint8)
     offs_d = list(row["block_doc_off"]) + [doc_arr.size]
     offs_t = list(row["block_tf_off"]) + [tf_arr.size]
+    offs_l = list(row["block_dl_off"]) + [dl_arr.size]
     gaps = varbyte_decode(doc_arr[offs_d[i]:offs_d[i + 1]])
     tfs = varbyte_decode(tf_arr[offs_t[i]:offs_t[i + 1]])
-    return delta_decode(gaps).astype(np.int64), tfs.astype(np.int64)
+    dls = varbyte_decode(dl_arr[offs_l[i]:offs_l[i + 1]])
+    return (
+        delta_decode(gaps).astype(np.int64),
+        tfs.astype(np.int64),
+        dls.astype(np.int64),
+    )
 
 
 def decode_positions(pos_bytes: bytes, df: int) -> list[np.ndarray]:

@@ -49,9 +49,13 @@ class BuildConfig:
     block_size: int = BLOCK_SIZE
     hot_df_threshold: int = HOT_DF_THRESHOLD
     salt_shift: int = SALT_SHIFT
-    # actor-pool sizing; (min, max) autoscaling pools
-    tokenize_concurrency: tuple[int, int] | int = (2, 8)
-    extract_concurrency: tuple[int, int] | int = (2, 8)
+    # actor-pool sizing; (min, max) autoscaling pools. "auto" resolves at
+    # build time from the cluster CPU count, keeping min-actors small enough
+    # that the pools can never starve the read/write task operators of CPUs
+    # (with two pools at min=2 on a 4-CPU cluster the pipeline deadlocks:
+    # 4 actors hold every CPU and the ReadParquet tasks never schedule).
+    tokenize_concurrency: tuple[int, int] | int | str = "auto"
+    extract_concurrency: tuple[int, int] | int | str = "auto"
     batch_size: int = 2048
     extra: dict = field(default_factory=dict)
 

@@ -1,0 +1,94 @@
+"""Segment + docs readers for the query path.
+
+The term-hash partition layout (``segments/termhash=<h>/``) makes a term
+lookup a direct shard read with a parquet predicate — no index scan
+(SURVEY §4.3 "build shuffle key"). The reference instead unpickles the whole
+positional index per query (``overlap_calculation.py:125``:
+``load_posix(pod_name)``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+SEGMENT_ROW_KEYS = [
+    "term_id", "df", "cf", "doc_bytes", "tf_bytes", "dl_bytes", "pos_bytes",
+    "block_last_doc", "block_max_tfnorm", "block_doc_off", "block_tf_off",
+    "block_dl_off", "block_n",
+]
+
+
+class IndexStats:
+    def __init__(self, path: str):
+        with open(path) as f:
+            d = json.load(f)
+        self.n_docs: int = d["n_docs"]
+        self.avgdl: float = d["avgdl"]
+        self.k1: float = d.get("k1", 1.2)
+        self.b: float = d.get("b", 0.75)
+        self.tokenizer: str = d.get("tokenizer", "spm")
+        self.vocab_path: str | None = d.get("vocab_path")
+        self.languages: tuple[str, ...] = tuple(d.get("languages", ("en",)))
+        self.keep_positions: bool = d.get("keep_positions", True)
+        self.n_shards: int = d.get("n_shards", 16)
+        self.raw = d
+
+
+class SegmentStore:
+    """Posting-list lookup over the sharded segments directory."""
+
+    def __init__(self, segments_dir: str, n_shards: int):
+        self.dir = segments_dir
+        self.n_shards = n_shards
+        self._partitioned = any(
+            name.startswith("termhash=") for name in os.listdir(segments_dir)
+        )
+        self._shard_ds: dict[int, pads.Dataset] = {}
+
+    def _dataset_for_shard(self, shard: int) -> pads.Dataset | None:
+        if shard in self._shard_ds:
+            return self._shard_ds[shard]
+        path = os.path.join(self.dir, f"termhash={shard}") if self._partitioned else self.dir
+        ds = pads.dataset(path, format="parquet") if os.path.exists(path) else None
+        self._shard_ds[shard] = ds
+        return ds
+
+    def lookup(self, term_ids: list[int]) -> dict[int, dict]:
+        """term_id → segment row dict (missing terms absent from the result)."""
+        out: dict[int, dict] = {}
+        by_shard: dict[int, list[int]] = {}
+        for t in term_ids:
+            by_shard.setdefault(int(t) % self.n_shards, []).append(int(t))
+        for shard, ts in by_shard.items():
+            ds = self._dataset_for_shard(shard)
+            if ds is None:
+                continue
+            tbl = ds.to_table(
+                columns=SEGMENT_ROW_KEYS,
+                filter=pc.field("term_id").isin(pa.array(ts, pa.int64())),
+            )
+            for row in tbl.to_pylist():
+                out[int(row["term_id"])] = row
+        return out
+
+
+class DocStore:
+    """Point lookups into the docs table (J1: result assembly joins the hit
+    list with doc metadata — reference score_pages.py:187-229)."""
+
+    def __init__(self, docs_dir: str):
+        self.ds = pads.dataset(docs_dir, format="parquet")
+
+    def lookup(self, doc_ids: np.ndarray) -> pa.Table:
+        return self.ds.to_table(
+            filter=pc.field("doc_id").isin(pa.array(np.asarray(doc_ids, dtype=np.int64)))
+        )
+
+    def scan(self, columns: list[str] | None = None) -> pa.Table:
+        return self.ds.to_table(columns=columns)

@@ -1,0 +1,261 @@
+"""Flagship full-text pipelines over the ``documents`` table.
+
+The whole reference capability (SURVEY §3.4): read → extract → tokenize →
+postings shuffle → compressed segments → BM25 top-k, expressed as Ray Data
+pipelines, with DuckDB SQL oracles reproducing the exact scores (the regex
+tokenizer is SQL-expressible; BM25 per north_rule k1=1.2, b=0.75 with the
+Lucene idf ln(1+(N-df+0.5)/(df+0.5))).
+
+The index built over ``documents`` is cached per sf_dir under /tmp so the
+several query entries share one build.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+from ray.data.aggregate import Count, Mean, Sum
+
+from ..config import BM25_B, BM25_K1, BuildConfig
+from ..stages.tokenize import TokenizeStage
+from .common import SQL_TOKENS, documents_path, pool, read_documents, tokens_per_row
+
+# Fixed reference query set over the documents vocabulary.
+BM25_QUERIES = [
+    (0, "spark merge window"),
+    (1, "customer query"),
+    (2, "vector"),
+    (3, "stream batch group order"),
+]
+BM25_TOP_K = 10
+
+
+# -- index build cache -------------------------------------------------------
+
+def docs_index_dir(sf_dir: str) -> str:
+    """Build (once) and return the index over sf_dir's documents table."""
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join("/tmp/pears_idx_cache", tag)
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        from ..index.build import build_index
+
+        cfg = BuildConfig(out_dir=out, tokenizer="regex", vocab_path=None,
+                          keep_positions=True)
+        build_index([documents_path(sf_dir)], cfg)
+    return out
+
+
+# -- pipelines ---------------------------------------------------------------
+
+def q_docs_table(sf_dir: str):
+    """Doc-metadata table (replaces the reference's Urls/SQLite rows, W3):
+    doc_id, title, snippet, lang, doclen — doclen = regex token count."""
+    from ..stages.extract import PassthroughExtract
+
+    def widen(batch: pa.Table) -> pa.Table:
+        # int64 doclen so the engine schema matches DuckDB's len() (BIGINT)
+        return batch.set_column(
+            batch.schema.get_field_index("doclen"), "doclen",
+            batch["doclen"].cast(pa.int64()),
+        )
+
+    return (
+        read_documents(sf_dir, columns=["doc_id", "text", "lang"])
+        .map_batches(PassthroughExtract, batch_format="pyarrow", concurrency=pool(2))
+        .map_batches(TokenizeStage, fn_constructor_kwargs={"vocab_path": None, "kind": "regex"},
+                     batch_format="pyarrow", concurrency=pool(2), num_cpus=1)
+        .select_columns(["doc_id", "title", "snippet", "lang", "doclen"])
+        .map_batches(widen, batch_format="pyarrow")
+    )
+
+
+def q_term_stats(sf_dir: str):
+    """Per-term document/collection frequency (A5): partial aggregation
+    inside map_batches, then a small groupby-sum — the df shuffle touches
+    one row per (batch, term), not one per posting."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks, _ = tokens_per_row(batch)
+        df: dict[str, int] = {}
+        cf: dict[str, int] = {}
+        for words in toks:
+            seen = set()
+            for w in words:
+                cf[w] = cf.get(w, 0) + 1
+                seen.add(w)
+            for w in seen:
+                df[w] = df.get(w, 0) + 1
+        terms = sorted(cf)
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "df_p": pa.array([df[t] for t in terms], pa.int64()),
+                "cf_p": pa.array([cf[t] for t in terms], pa.int64()),
+            }
+        )
+
+    ds = (
+        read_documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df_p", alias_name="df"), Sum("cf_p", alias_name="cf"))
+    )
+    return ds
+
+
+def q_corpus_stats(sf_dir: str):
+    """Global N / avgdl / total token count (A5) via partial+final agg."""
+
+    def doclens(batch: pa.Table) -> pa.Table:
+        _, counts = tokens_per_row(batch)
+        return pa.table({"doclen": pa.array(counts, pa.int64())})
+
+    agg = (
+        read_documents(sf_dir, columns=["text"])
+        .map_batches(doclens, batch_format="pyarrow")
+        .aggregate(Count(alias_name="n_docs"), Sum("doclen", alias_name="total_tokens"),
+                   Mean("doclen", alias_name="avgdl"))
+    )
+    return pa.table(
+        {
+            "n_docs": pa.array([int(agg["n_docs"])], pa.int64()),
+            "total_tokens": pa.array([int(agg["total_tokens"])], pa.int64()),
+            "avgdl": pa.array([round(float(agg["avgdl"]), 6)], pa.float64()),
+        }
+    )
+
+
+def _bm25_all_scores(sf_dir: str) -> dict[int, tuple[np.ndarray, np.ndarray]]:
+    """query_id → (doc_ids, float64 scores) for every matching doc."""
+    from ..query.engine import QueryEngine
+
+    idx = docs_index_dir(sf_dir)
+    eng = QueryEngine(idx, mode="bm25")
+    out = {}
+    for qid, q in BM25_QUERIES:
+        docs, scores = eng.search_scores(q, k=1 << 31, use_wand=False)
+        out[qid] = (docs, scores)
+    return out
+
+
+def q_bm25_scores(sf_dir: str):
+    """Disjunctive BM25 scores for the fixed query set, every matching doc
+    (no cutoff — immune to top-k boundary effects; rounded to 6dp)."""
+    qids, dids, scores = [], [], []
+    for qid, (d, s) in sorted(_bm25_all_scores(sf_dir).items()):
+        qids.extend([qid] * d.size)
+        dids.extend(d.tolist())
+        scores.extend(np.round(s, 6).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int32()),
+            "doc_id": pa.array(dids, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+
+
+def q_bm25_topk(sf_dir: str):
+    """Top-k per query under the (rounded-score desc, doc_id asc) contract —
+    rounding first makes the cutoff reproducible in SQL float arithmetic."""
+    qids, dids, scores = [], [], []
+    for qid, (d, s) in sorted(_bm25_all_scores(sf_dir).items()):
+        r = np.round(s, 6)
+        order = np.lexsort((d, -r))[:BM25_TOP_K]
+        qids.extend([qid] * len(order))
+        dids.extend(d[order].tolist())
+        scores.extend(r[order].tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int32()),
+            "doc_id": pa.array(dids, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+
+
+# -- SQL oracles -------------------------------------------------------------
+
+def _qterms_values() -> str:
+    rows = []
+    for qid, q in BM25_QUERIES:
+        for term in dict.fromkeys(q.split()):
+            rows.append(f"({qid}, '{term}')")
+    return ", ".join(rows)
+
+
+_BM25_CTE = f"""
+WITH qterms(query_id, term) AS (VALUES {{qterms}}),
+toks AS (
+  SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT count(*) FROM toks)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({BM25_K1} + 1.0)
+              / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl))
+         ) AS raw
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+)
+"""
+
+
+def sql_bm25_scores() -> str:
+    return (
+        _BM25_CTE.format(qterms=_qterms_values())
+        + "SELECT query_id, doc_id, round(raw, 6) AS score FROM scored"
+    )
+
+
+def sql_bm25_topk() -> str:
+    return (
+        _BM25_CTE.format(qterms=_qterms_values())
+        + f"""SELECT query_id, doc_id, round(raw, 6) AS score FROM scored
+QUALIFY row_number() OVER (
+  PARTITION BY query_id ORDER BY round(raw, 6) DESC, doc_id
+) <= {BM25_TOP_K}"""
+    )
+
+
+QUERIES = {
+    "docs_table": q_docs_table,
+    "term_stats": q_term_stats,
+    "corpus_stats": q_corpus_stats,
+    "bm25_scores": q_bm25_scores,
+    "bm25_topk": q_bm25_topk,
+}
+
+ORACLE_SQL = {
+    "docs_table": f"""
+SELECT doc_id, substr(text, 1, 60) AS title, substr(text, 1, 500) AS snippet,
+       lang, len({SQL_TOKENS}) AS doclen
+FROM documents""",
+    "term_stats": f"""
+WITH toks AS (SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents)
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+FROM toks GROUP BY term""",
+    "corpus_stats": f"""
+WITH toks AS (SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents)
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       (SELECT count(*) FROM toks) AS total_tokens,
+       round((SELECT count(*) FROM toks)::DOUBLE
+             / (SELECT count(*) FROM documents), 6) AS avgdl""",
+    "bm25_scores": sql_bm25_scores(),
+    "bm25_topk": sql_bm25_topk(),
+}

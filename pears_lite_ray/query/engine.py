@@ -1,0 +1,156 @@
+"""QueryEngine: top-k search over a built index (SURVEY §3.4 query path).
+
+Modes:
+* ``bm25`` (default; north_rule): block-max WAND over compressed segments,
+  k1=1.2, b=0.75, tie-break (score desc, doc_id asc).
+* ``pears``: the reference's fusion scoring (see query/pears.py) —
+  stopword strip + DSL parse mirror the reference's search controller
+  (app/search/controllers.py:55 → score_pages.run:232-250).
+
+The engine is a stateful object (segment dataset handles, stats, tokenizer)
+intended to live inside a ``map_batches`` actor for batch query evaluation,
+or be used directly for interactive queries.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import DEFAULT_TOP_K
+from ..index.segments import DocStore, IndexStats, SegmentStore
+from ..vocab import Vocab, make_tokenizer
+from . import bm25, pears
+from .parse import parse_query, strip_stopwords
+
+RESULT_SCHEMA = pa.schema(
+    [
+        ("rank", pa.int32()),
+        ("doc_id", pa.int64()),
+        ("score", pa.float64()),
+        ("url", pa.string()),
+        ("title", pa.string()),
+        ("snippet", pa.string()),
+    ]
+)
+
+
+class QueryEngine:
+    def __init__(self, index_dir: str, mode: str = "bm25",
+                 strip_query_stopwords: bool | None = None):
+        self.stats = IndexStats(os.path.join(index_dir, "stats.json"))
+        self.segments = SegmentStore(os.path.join(index_dir, "segments"),
+                                     self.stats.n_shards)
+        self.docs = DocStore(os.path.join(index_dir, "docs"))
+        self.mode = mode
+        # the reference strips query stopwords before scoring
+        # (controllers.py:55); default on for pears fidelity, off for bm25.
+        self.strip = (mode == "pears") if strip_query_stopwords is None else strip_query_stopwords
+        vocab = (
+            Vocab.load(self.stats.vocab_path)
+            if self.stats.tokenizer == "spm" else None
+        )
+        self.tokenizer = make_tokenizer(self.stats.tokenizer, vocab)
+
+    # -- query prep ---------------------------------------------------------
+    def _prep(self, query: str):
+        parsed = parse_query(query, default_lang=self.stats.languages[0])
+        q = parsed.query
+        if self.strip:
+            q = strip_stopwords(q, parsed.lang)
+        pieces = self.tokenizer.encode_pieces(q)
+        ids, _ = self.tokenizer.encode_ids_positions(q)
+        return parsed, q, pieces, ids
+
+    # -- scoring ------------------------------------------------------------
+    def search_scores(self, query: str, k: int = DEFAULT_TOP_K,
+                      conjunctive: bool = False, use_wand: bool = True):
+        """→ (doc_ids, scores) under the (score desc, doc_id asc) contract."""
+        _, q, pieces, ids = self._prep(query)
+        distinct = list(dict.fromkeys(ids))
+        if not distinct:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        rows_by_id = self.segments.lookup(distinct)
+        rows = [rows_by_id[t] for t in distinct if t in rows_by_id]
+        if self.mode == "pears":
+            return self._pears_scores(q, pieces, ids, rows_by_id, k)
+        if conjunctive and len(rows) < len(distinct):
+            # a query term absent from the corpus empties the intersection
+            # (reference: posindex[w] is an empty dict → empty candidate set)
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        if conjunctive or not use_wand:
+            return bm25.exact_topk(rows, k, self.stats.n_docs, self.stats.avgdl,
+                                   self.stats.k1, self.stats.b,
+                                   conjunctive=conjunctive)
+        return bm25.wand_topk(rows, k, self.stats.n_docs, self.stats.avgdl,
+                              self.stats.k1, self.stats.b)
+
+    def _pears_scores(self, q, pieces, ids, rows_by_id, k):
+        if self.stats.tokenizer == "spm":
+            word_groups = pears.group_pieces_into_words(pieces, ids)
+        else:
+            word_groups = [[t] for t in dict.fromkeys(ids)]
+        # snippet component needs title+snippet for candidate docs: compute
+        # candidates first without meta, then join and rescore.
+        pre = pears.pears_scores(q, word_groups, rows_by_id, doc_meta=None)
+        if not pre:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        cand = np.array(sorted(pre), dtype=np.int64)
+        meta_tbl = self.docs.lookup(cand)
+        meta = {
+            int(r["doc_id"]): (r["title"] or "", r["snippet"] or "")
+            for r in meta_tbl.to_pylist()
+        }
+        full = pears.pears_scores(q, word_groups, rows_by_id, doc_meta=meta)
+        doc_ids = np.array(sorted(full), dtype=np.int64)
+        scores = np.array([full[int(d)] for d in doc_ids], dtype=np.float64)
+        keep = scores > 0  # bestURLs keeps positive scores only (K1)
+        return bm25.topk_select(doc_ids[keep], scores[keep], k)
+
+    # -- full search with metadata join (J1) --------------------------------
+    def search(self, query: str, k: int = DEFAULT_TOP_K, **kw) -> pa.Table:
+        doc_ids, scores = self.search_scores(query, k, **kw)
+        if doc_ids.size == 0:
+            return RESULT_SCHEMA.empty_table()
+        meta = self.docs.lookup(doc_ids)
+        lut = {int(r["doc_id"]): r for r in meta.to_pylist()}
+        rows = {
+            "rank": np.arange(doc_ids.size, dtype=np.int32),
+            "doc_id": doc_ids,
+            "score": scores,
+            "url": [lut.get(int(d), {}).get("url", "") for d in doc_ids],
+            "title": [lut.get(int(d), {}).get("title", "") for d in doc_ids],
+            "snippet": [lut.get(int(d), {}).get("snippet", "") for d in doc_ids],
+        }
+        return pa.table(rows, schema=RESULT_SCHEMA)
+
+
+class BatchQueryStage:
+    """Actor-pool stage for dataset-scale query evaluation:
+    a query table batch in → result rows out (one per hit)."""
+
+    def __init__(self, index_dir: str, mode: str = "bm25"):
+        self.engine = QueryEngine(index_dir, mode=mode)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, docs, scores = [], [], [], []
+        for qid, q, k in zip(
+            batch["query_id"].to_pylist(),
+            batch["query"].to_pylist(),
+            batch["k"].to_pylist(),
+        ):
+            d, s = self.engine.search_scores(q, int(k))
+            qids.extend([qid] * d.size)
+            ranks.extend(range(d.size))
+            docs.extend(d.tolist())
+            scores.extend(s.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.int32()),
+                "rank": pa.array(ranks, pa.int32()),
+                "doc_id": pa.array(docs, pa.int64()),
+                "score": pa.array(scores, pa.float64()),
+            }
+        )

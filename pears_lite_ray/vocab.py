@@ -24,6 +24,7 @@ logprob (so weights are positive costs); document vectors weight counts by
 
 from __future__ import annotations
 
+import hashlib
 import re
 from functools import lru_cache
 
@@ -166,45 +167,41 @@ class SpmTokenizer:
         return " ".join(self.encode_pieces(text))
 
 
-class RegexTokenizer:
-    """Lowercase ``[a-z0-9]+`` word tokenizer with a dynamically grown vocab.
+def term_hash_id(word: str) -> int:
+    """Deterministic 63-bit term id from the word's bytes (vocab-free)."""
+    return int.from_bytes(
+        hashlib.blake2b(word.encode(), digest_size=8).digest(), "big"
+    ) & ((1 << 63) - 1)
 
-    Built over a fixed vocabulary when ``vocab`` is given (term ids dense in
-    vocab order); used for SQL-oracle-parity pipelines where DuckDB reproduces
-    the tokenization with ``regexp_split_to_array(lower(text),'[^a-z0-9]+')``.
+
+class RegexTokenizer:
+    """Lowercase ``[a-z0-9]+`` word tokenizer; term ids are word hashes.
+
+    Vocab-free (term_id = blake2b-63bit of the word), so a distributed build
+    needs no global vocabulary pass; DuckDB reproduces the tokenization with
+    ``regexp_split_to_array(lower(text),'[^a-z0-9]+')``. Word-id lookups are
+    memoized per instance.
     """
 
-    def __init__(self, vocab: Vocab | None = None):
-        self.vocab = vocab
+    def __init__(self):
+        self._id = lru_cache(maxsize=262144)(term_hash_id)
 
     def encode_pieces(self, text: str) -> list[str]:
         return _WORD_RE.findall(text.lower())
 
     def encode_ids_positions(self, text: str) -> tuple[list[int], list[int]]:
-        if self.vocab is None:
-            raise ValueError("RegexTokenizer needs a vocab for id encoding")
-        get = self.vocab.piece_to_id.get
-        ids, pos = [], []
-        for k, w in enumerate(self.encode_pieces(text)):
-            i = get(w)
-            if i is not None:
-                ids.append(i)
-                pos.append(k)
-        return ids, pos
+        words = self.encode_pieces(text)
+        return [self._id(w) for w in words], list(range(len(words)))
+
+    def __call__(self, text: str) -> str:
+        return " ".join(self.encode_pieces(text))
 
 
-def build_regex_vocab(texts) -> Vocab:
-    """Deterministic vocab for :class:`RegexTokenizer`: sorted unique words."""
-    words = set()
-    for t in texts:
-        words.update(_WORD_RE.findall(t.lower()))
-    ordered = sorted(words)
-    return Vocab(ordered, [0.0] * len(ordered))
-
-
-def make_tokenizer(kind: str, vocab: Vocab):
+def make_tokenizer(kind: str, vocab: Vocab | None):
     if kind == "spm":
+        if vocab is None:
+            raise ValueError("spm tokenizer requires a vocab")
         return SpmTokenizer(vocab)
     if kind == "regex":
-        return RegexTokenizer(vocab)
+        return RegexTokenizer()
     raise ValueError(f"unknown tokenizer kind: {kind}")

@@ -41,21 +41,20 @@ def _sample_list(n=500, seed=0):
 def test_posting_list_roundtrip_and_blocks():
     docs, tfs, dls = _sample_list()
     row = codec.encode_posting_list(
-        docs, tfs, dls, df_total=docs.size, n_docs=10_000, avgdl=60.0,
-        k1=1.2, b=0.75, block_size=128,
+        docs, tfs, dls, avgdl=60.0, k1=1.2, b=0.75, block_size=128,
     )
-    d2, t2 = codec.decode_posting_list(row)
+    d2, t2, l2 = codec.decode_posting_list(row)
     assert np.array_equal(d2, docs.astype(np.int64))
     assert np.array_equal(t2, tfs.astype(np.int64))
+    assert np.array_equal(l2, dls.astype(np.int64))
     # blocks decode independently and block-max bounds are exact maxima
-    idf = codec.bm25_idf(float(docs.size), 10_000.0)
-    scores = idf * codec.bm25_tf_norm(tfs, dls, 60.0, 1.2, 0.75)
+    scores = codec.bm25_tf_norm(tfs, dls, 60.0, 1.2, 0.75)
     for i in range(len(row["block_n"])):
-        bd, bt = codec.decode_block(row, i)
+        bd, bt, bl = codec.decode_block(row, i)
         s, e = i * 128, min((i + 1) * 128, docs.size)
         assert np.array_equal(bd, docs[s:e].astype(np.int64))
         assert row["block_last_doc"][i] == int(docs[e - 1])
-        assert row["block_max_score"][i] == pytest.approx(scores[s:e].max())
+        assert row["block_max_tfnorm"][i] == pytest.approx(scores[s:e].max())
 
 
 def test_positions_stream_roundtrip():
@@ -63,7 +62,7 @@ def test_positions_stream_roundtrip():
     rng = np.random.RandomState(7)
     positions = [np.sort(rng.choice(500, size=int(t), replace=False)) for t in tfs]
     row = codec.encode_posting_list(
-        docs, tfs, dls, df_total=docs.size, n_docs=1000, avgdl=50.0,
+        docs, tfs, dls, avgdl=50.0,
         k1=1.2, b=0.75, block_size=16, positions=positions,
     )
     dec = codec.decode_positions(row["pos_bytes"], row["df"])

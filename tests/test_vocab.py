@@ -2,7 +2,7 @@
 
 import numpy as np
 
-from pears_lite_ray.vocab import RegexTokenizer, SpmTokenizer, Vocab, build_regex_vocab
+from pears_lite_ray.vocab import RegexTokenizer, SpmTokenizer, Vocab, term_hash_id
 
 MINI_VOCAB = [
     ("<unk>", 0.0), ("<s>", 0.0), ("</s>", 0.0),
@@ -74,8 +74,7 @@ def test_regex_tokenizer_matches_duckdb_split():
     import duckdb
 
     texts = ["Hello, World! 42 times", "the quick-brown fox_9"]
-    v = build_regex_vocab(texts)
-    tok = RegexTokenizer(v)
+    tok = RegexTokenizer()
     for t in texts:
         ours = tok.encode_pieces(t)
         sql = duckdb.sql(
@@ -83,3 +82,11 @@ def test_regex_tokenizer_matches_duckdb_split():
             params={"t": t},
         ).fetchone()[0]
         assert ours == sql
+
+
+def test_regex_tokenizer_hash_ids_deterministic():
+    tok = RegexTokenizer()
+    ids, pos = tok.encode_ids_positions("the cat the")
+    assert ids[0] == ids[2] == term_hash_id("the")
+    assert pos == [0, 1, 2]
+    assert 0 <= ids[1] < (1 << 63)
