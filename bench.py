@@ -27,7 +27,10 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-CORPUS_DOCS = int(os.environ.get("BENCH_CORPUS_DOCS", "8000"))
+CORPUS_DOCS = int(os.environ.get("BENCH_CORPUS_DOCS", "32000"))
+# scaling runs need enough work that fixed per-job overhead (~6 s: actor
+# spawn, shuffle barriers, driver planning) amortizes at 32 CPUs
+SCALING_DOCS = int(os.environ.get("BENCH_SCALING_DOCS", "128000"))
 CORPUS_FILES = 16
 
 
@@ -111,7 +114,7 @@ def main() -> None:
 
     if args.scale_child:
         _init_ray(args.cpus)
-        res = headline_build()
+        res = headline_build(SCALING_DOCS)
         print(json.dumps(res | {"num_cpus": args.cpus}))
         return
 
@@ -136,7 +139,7 @@ def main() -> None:
             "rate_8cpu_docs_per_sec": rates[8],
             "rate_32cpu_docs_per_sec": rates[32],
             "detail": detail,
-            "corpus_docs": CORPUS_DOCS,
+            "corpus_docs": SCALING_DOCS,
         }))
         return
 

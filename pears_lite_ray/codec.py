@@ -218,31 +218,24 @@ def encode_posting_list(
     n = int(doc_ids.size)
     scores = bm25_tf_norm(tfs, doclens, avgdl, k1, b)
 
-    doc_chunks: list[bytes] = []
-    tf_chunks: list[bytes] = []
-    dl_chunks: list[bytes] = []
-    blast, bmax, bdoc, btf, bdl, bn = [], [], [], [], [], []
-    doc_off = 0
-    tf_off = 0
-    dl_off = 0
-    for s in range(0, n, block_size):
-        e = min(s + block_size, n)
-        gaps = delta_encode(doc_ids[s:e])
-        db = varbyte_encode(gaps)
-        tb = varbyte_encode(tfs[s:e].astype(np.uint64))
-        lb = varbyte_encode(np.asarray(doclens[s:e], dtype=np.uint64))
-        doc_chunks.append(db)
-        tf_chunks.append(tb)
-        dl_chunks.append(lb)
-        blast.append(int(doc_ids[e - 1]))
-        bmax.append(float(scores[s:e].max()))
-        bdoc.append(doc_off)
-        btf.append(tf_off)
-        bdl.append(dl_off)
-        bn.append(e - s)
-        doc_off += len(db)
-        tf_off += len(tb)
-        dl_off += len(lb)
+    # one split-encode per stream (per-block numpy calls cost ~80 µs each;
+    # a 7000-df term has 55 blocks × 3 streams — this is the merge hot path)
+    starts = np.arange(0, n, block_size, dtype=np.int64)
+    docs_u = np.ascontiguousarray(doc_ids, dtype=np.uint64)
+    gaps = docs_u.copy()
+    gaps[1:] -= docs_u[:-1]
+    gaps[starts] = docs_u[starts]  # re-base each block (independent decode)
+    doc_chunks = varbyte_encode_split(gaps, starts)
+    tf_chunks = varbyte_encode_split(np.ascontiguousarray(tfs, np.uint64), starts)
+    dl_chunks = varbyte_encode_split(np.ascontiguousarray(doclens, np.uint64), starts)
+
+    ends = np.minimum(starts + block_size, n)
+    blast = doc_ids[ends - 1].astype(np.int64).tolist()
+    bmax = np.maximum.reduceat(scores, starts).tolist()
+    bn = (ends - starts).astype(np.int64).tolist()
+    bdoc = np.r_[0, np.cumsum([len(c) for c in doc_chunks])[:-1]].tolist()
+    btf = np.r_[0, np.cumsum([len(c) for c in tf_chunks])[:-1]].tolist()
+    bdl = np.r_[0, np.cumsum([len(c) for c in dl_chunks])[:-1]].tolist()
 
     pos_bytes = b""
     if positions is not None:

@@ -56,7 +56,11 @@ class BuildConfig:
     # 4 actors hold every CPU and the ReadParquet tasks never schedule).
     tokenize_concurrency: tuple[int, int] | int | str = "auto"
     extract_concurrency: tuple[int, int] | int | str = "auto"
-    batch_size: int = 2048
+    # bundle size for the actor stages: rows per task. Small enough that a
+    # wave of input files splits into ≥ actor-count bundles (2048 left the
+    # 32-CPU extract pool 8-wide on 2000-row files), large enough to keep
+    # per-call overhead negligible.
+    batch_size: int = 512
     extra: dict = field(default_factory=dict)
 
     @property

@@ -35,9 +35,8 @@ import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
 from ..config import BM25_B, BM25_K1, BuildConfig
-from ..stages.extract import ExtractStage, PassthroughExtract
+from ..stages.fused import FusedExtractTokenize
 from ..stages.postings import MergeTermGroup, explode_partials
-from ..stages.tokenize import TokenizeStage
 from ..state.manifest import BuildManifest
 
 META_COLS = ["doc_id", "url", "warc_ts", "title", "snippet", "lang", "doclen"]
@@ -47,14 +46,16 @@ POSTING_COLS = ["doc_id", "doclen", "term_ids", "positions"]
 def _pool_concurrency(setting, n_pools: int = 2):
     """Resolve "auto" actor-pool sizing against the live cluster.
 
-    Min stays at 1 so the pools plus the read/write task operators always fit
-    in the CPU budget; max splits the CPUs (minus a 2-CPU reserve for the
-    task operators) across the ``n_pools`` stateful stages.
+    Returns a FIXED pool size: (CPUs - 2 reserved for the read/write task
+    operators) / n_pools. An autoscaling (1, max) pool ramps up too slowly
+    to matter within a wave (measured 14 s vs 5.5 s on a 32-CPU build) —
+    the wave is the unit of work and saturates immediately, so start every
+    actor up front.
     """
     if setting != "auto":
         return setting
     cpus = int(ray.cluster_resources().get("CPU", 4))
-    return (1, max(1, (cpus - 2) // n_pools))
+    return max(1, (cpus - 2) // n_pools)
 
 
 def _input_mode(path: str) -> str:
@@ -88,7 +89,9 @@ def stage_partitions(input_paths: list[str], cfg: BuildConfig, report: dict) -> 
         if not manifest.is_done(part, path)
     ]
     report["stage_partitions_skipped_on_resume"] = len(input_paths) - len(pending)
-    per_wave = int(cfg.extra.get("files_per_wave", 8))
+    # a wave must carry enough files to feed every actor of both pools
+    default_wave = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    per_wave = int(cfg.extra.get("files_per_wave", default_wave))
     for w in range(0, len(pending), per_wave):
         wave = pending[w:w + per_wave]
         wave_paths = [p for _, p in wave]
@@ -97,24 +100,19 @@ def stage_partitions(input_paths: list[str], cfg: BuildConfig, report: dict) -> 
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
         ds = rd.read_parquet(wave_paths)
-        if mode == "html":
-            ds = ds.map_batches(
-                ExtractStage,
-                fn_constructor_kwargs={"installed_languages": cfg.languages},
-                batch_format="pyarrow",
-                batch_size=cfg.batch_size,
-                concurrency=_pool_concurrency(cfg.extract_concurrency),
-                num_cpus=1,
-            )
-        else:
-            ds = ds.map_batches(PassthroughExtract, batch_format="pyarrow",
-                                batch_size=cfg.batch_size, concurrency=2)
+        # one fused actor pool: extract+tokenize never ship the intermediate
+        # text column through the object store (see stages/fused.py)
         ds = ds.map_batches(
-            TokenizeStage,
-            fn_constructor_kwargs={"vocab_path": cfg.vocab_path, "kind": cfg.tokenizer},
+            FusedExtractTokenize,
+            fn_constructor_kwargs={
+                "vocab_path": cfg.vocab_path,
+                "kind": cfg.tokenizer,
+                "installed_languages": cfg.languages,
+                "mode": mode,
+            },
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
-            concurrency=_pool_concurrency(cfg.tokenize_concurrency),
+            concurrency=_pool_concurrency(cfg.extract_concurrency, n_pools=1),
             num_cpus=1,
         )
         ds.write_parquet(out_dir)
@@ -130,76 +128,131 @@ def stage_partitions(input_paths: list[str], cfg: BuildConfig, report: dict) -> 
                                wall_sec=wall)
 
 
-def _staging_ds(cfg: BuildConfig, columns: list[str]):
-    return rd.read_parquet(cfg.staging_dir, columns=columns)
+def _staging_ds(cfg: BuildConfig, columns: list[str], blocks: int | None = None):
+    kw = {"override_num_blocks": blocks} if blocks else {}
+    return rd.read_parquet(cfg.staging_dir, columns=columns, **kw)
+
+
+def _meta_blocks(cfg: BuildConfig) -> int:
+    """Block count for metadata-only scans, sized by DATA VOLUME (64 MB
+    target blocks), clamped to [4, 4×CPUs]. Sizing by CPU count instead
+    makes shuffle cost quadratic in cluster size on small data (P map × P
+    reduce exchanges of near-empty partitions): a 30k-row groupby measured
+    7 s with 32 partitions vs 1.2 s with 8 on this machine."""
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    by_size = _dir_bytes(cfg.staging_dir) // (2 << 20)
+    return int(max(4, min(by_size, 4 * cpus)))
 
 
 def dedup_and_stats(cfg: BuildConfig) -> tuple[dict, np.ndarray, pa.Table | None]:
-    """Phase 2 → (stats, loser_doc_ids_sorted, winners_table[staging schema])."""
-    meta = _staging_ds(cfg, ["doc_id", "warc_ts", "doclen"])
-    dup_pdf = (
-        meta.groupby("doc_id")
-        .aggregate(Count(alias_name="cnt"))
-        .map_batches(lambda t: t.filter(pc.greater(t["cnt"], 1)), batch_format="pyarrow")
+    """Phase 2 → (stats, dup_doc_ids_sorted, winners_table[staging schema]).
+
+    One groupby over the doc_id column finds cross-partition duplicates; one
+    unfiltered aggregate computes row/token totals; dup groups (rare) are
+    pulled driver-side with a parquet predicate and the totals adjusted by
+    the losers — no second filtered scan of the staging data.
+    """
+    nb = _meta_blocks(cfg)
+
+    def summarize(t: pa.Table) -> pa.Table:
+        """Per grouped block: one totals row (doc_id = -1) + the dup rows.
+
+        Collapses the grouped per-doc table to a few rows per block so ONE
+        dataset job yields both the duplicate id set and the global totals
+        (three separate jobs cost ~1 s of driver overhead each)."""
+        dups = t.filter(pc.greater(t["cnt"], 1))
+        totals = pa.table(
+            {
+                "doc_id": pa.array([-1], pa.int64()),
+                "cnt": pa.array([int(pc.sum(t["cnt"]).as_py() or 0)], pa.int64()),
+                "dl": pa.array([int(pc.sum(t["dl"]).as_py() or 0)], pa.int64()),
+            }
+        )
+        return pa.concat_tables([totals, dups.select(["doc_id", "cnt", "dl"])])
+
+    summary = (
+        _staging_ds(cfg, ["doc_id", "doclen"], nb)
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="cnt"), Sum("doclen", alias_name="dl"))
+        .map_batches(summarize, batch_format="pyarrow")
         .to_pandas()
     )
+    totals = summary[summary["doc_id"] < 0]
+    dup_pdf = summary[summary["doc_id"] >= 0]
     dup_ids = np.sort(dup_pdf["doc_id"].to_numpy()) if len(dup_pdf) else np.empty(0, np.int64)
+    n = int(totals["cnt"].sum())
+    sum_dl = int(totals["dl"].sum())
 
-    winners: pa.Table | None = None
+    winner_ts: dict[int, int] = {}
+    winner_url: dict[int, str] = {}
     if dup_ids.size:
-        # duplicate rows are rare: pull them driver-side and resolve exactly
-        # (winner = max warc_ts, tie-break url asc then first-read — a total
-        # order, so the result is deterministic under any parallelism).
-        refs = rd.read_parquet(
-            cfg.staging_dir, filter=pc.field("doc_id").isin(pa.array(dup_ids))
-        ).to_arrow_refs()
-        tbls = [t for t in ray.get(refs) if t.num_rows]
-        full = pa.concat_tables(tbls).combine_chunks()
-        key = full.select(["doc_id", "warc_ts", "url"]).to_pandas()
-        keep = (
-            key.sort_values(["doc_id", "warc_ts", "url"],
-                            ascending=[True, False, True], kind="stable")
-            .drop_duplicates("doc_id", keep="first")
-            .index.to_numpy()
+        # duplicate groups are rare: pull their LIGHT columns driver-side
+        # (no term_ids/positions lists — reading the full staging schema
+        # through an isin predicate cost seconds) and resolve winners:
+        # max warc_ts, tie-break url asc — a total order, deterministic
+        # under any parallelism.
+        full = (
+            rd.read_parquet(
+                cfg.staging_dir,
+                columns=["doc_id", "warc_ts", "url", "doclen"],
+                filter=pc.field("doc_id").isin(pa.array(dup_ids)),
+            )
+            .to_pandas()
         )
-        winners = full.take(pa.array(np.sort(keep)))
+        full["warc_ts"] = full["warc_ts"].astype("int64")
+        ordered = full.sort_values(["doc_id", "warc_ts", "url"],
+                                   ascending=[True, False, True], kind="stable")
+        win = ordered.drop_duplicates("doc_id", keep="first")
+        winner_ts = dict(zip(win["doc_id"], win["warc_ts"]))
+        # url tie-break only needed where the winning warc_ts is ambiguous
+        ts_amb = ordered.groupby("doc_id")["warc_ts"].apply(
+            lambda s: (s == s.iloc[0]).sum() > 1
+        )
+        for d in ts_amb[ts_amb].index:
+            winner_url[int(d)] = win.loc[win["doc_id"] == d, "url"].iloc[0]
+        # subtract the losers from the all-rows totals
+        n -= len(full) - len(win)
+        sum_dl -= int(full["doclen"].sum()) - int(win["doclen"].sum())
 
-    # stats over non-dup rows + winner rows
-    if dup_ids.size:
-        id_set = pa.array(dup_ids)
-        base = meta.map_batches(
-            lambda t: t.filter(pc.invert(pc.is_in(t["doc_id"], value_set=id_set))),
-            batch_format="pyarrow",
-        )
-    else:
-        base = meta
-    agg = base.aggregate(Count(alias_name="n"), Sum("doclen", alias_name="sum_dl"))
-    n = int(agg["n"] or 0)
-    sum_dl = int(agg["sum_dl"] or 0)
-    if winners is not None:
-        n += winners.num_rows
-        sum_dl += int(pc.sum(winners["doclen"]).as_py() or 0)
     stats = {
         "n_docs": n,
         "avgdl": (sum_dl / n) if n else 0.0,
         "total_postings": sum_dl,
         "n_duplicate_doc_ids": int(dup_ids.size),
     }
-    return stats, dup_ids, winners
+    return stats, dup_ids, winner_ts, winner_url
 
 
-def _drop_losers(ds, dup_ids: np.ndarray, winners: pa.Table | None, columns: list[str]):
-    """Semi-anti-join against the (small, broadcast) duplicate id set, then
-    union the resolved winner rows back in."""
-    if not dup_ids.size or winners is None:
+def _filter_winners(ds, dup_ids: np.ndarray, winner_ts: dict, winner_url: dict):
+    """Drop duplicate-id LOSER rows via the broadcast winner-key maps — a
+    semi-join as a stateless filter, no union / re-shipping of winner rows.
+
+    Rows whose (doc_id, warc_ts[, url]) equals the winner key pass through
+    where they already are. Exact-identity duplicates (same id, ts AND url
+    in different partitions) both survive here; the term merge drops the
+    repeat deterministically (identical rows ⇒ identical postings)."""
+    if not dup_ids.size:
         return ds
-    id_set = pa.array(dup_ids)
+    dup_set = pa.array(dup_ids)
 
-    def drop(t: pa.Table) -> pa.Table:
-        return t.filter(pc.invert(pc.is_in(t["doc_id"], value_set=id_set)))
+    def keep_winners(t: pa.Table) -> pa.Table:
+        isdup = pc.is_in(t["doc_id"], value_set=dup_set).to_numpy(zero_copy_only=False)
+        if not isdup.any():
+            return t.drop_columns([c for c in ("warc_ts", "url") if c in t.column_names])
+        ids = t["doc_id"].to_numpy()
+        ts = t["warc_ts"].cast(pa.int64()).to_numpy()
+        urls = t["url"].to_pylist() if winner_url else None
+        keep = np.ones(len(t), dtype=bool)
+        for i in np.nonzero(isdup)[0]:
+            d = int(ids[i])
+            if ts[i] != winner_ts.get(d, ts[i]):
+                keep[i] = False
+            elif urls is not None and d in winner_url and urls[i] != winner_url[d]:
+                keep[i] = False
+        out = t.filter(pa.array(keep))
+        return out.drop_columns([c for c in ("warc_ts", "url") if c in out.column_names])
 
-    ds = ds.map_batches(drop, batch_format="pyarrow")
-    return ds.union(rd.from_arrow(winners.select(columns)))
+    return ds.map_batches(keep_winners, batch_format="pyarrow")
 
 
 def build_index(input_paths: list[str], cfg: BuildConfig) -> dict:
@@ -213,25 +266,32 @@ def build_index(input_paths: list[str], cfg: BuildConfig) -> dict:
     report["stage_sec"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
-    stats, dup_ids, winners = dedup_and_stats(cfg)
+    stats, dup_ids, winner_ts, winner_url = dedup_and_stats(cfg)
     report["dedup_stats_sec"] = round(time.perf_counter() - t0, 3)
 
-    # docs table
-    t0 = time.perf_counter()
-    docs = _staging_ds(cfg, META_COLS)
-    docs = _drop_losers(docs, dup_ids, winners, META_COLS)
-    docs.write_parquet(cfg.docs_dir)
-    report["docs_sec"] = round(time.perf_counter() - t0, 3)
+    # no separate docs-table write: doc metadata lives in the staging
+    # parquet (DocStore reads a projection of it and resolves duplicate-id
+    # winners at lookup time — one fewer full read+write of the corpus
+    # metadata per build)
+    report["docs_sec"] = 0.0
 
     # segments
     t0 = time.perf_counter()
-    post = _staging_ds(cfg, POSTING_COLS)
-    post = _drop_losers(post, dup_ids, winners, POSTING_COLS)
+    post_cols = list(POSTING_COLS)
+    if dup_ids.size:  # winner filter needs the timestamp (and url on ties)
+        post_cols.append("warc_ts")
+        if winner_url:
+            post_cols.append("url")
+    post = _staging_ds(cfg, post_cols)
+    post = _filter_winners(post, dup_ids, winner_ts, winner_url)
     keep_pos = cfg.keep_positions
+    # bigger bundles than the actor stages: explode is ~40 ms per 512 rows,
+    # so task-dispatch overhead dominates at small batch sizes — and larger
+    # batches also collapse more postings per partial row before the shuffle
     partials = post.map_batches(
         lambda t: explode_partials(t, keep_positions=keep_pos),
         batch_format="pyarrow",
-        batch_size=cfg.batch_size,
+        batch_size=cfg.batch_size * 8,
     )
     merger = MergeTermGroup(
         avgdl=stats["avgdl"], k1=BM25_K1, b=BM25_B,
@@ -260,7 +320,6 @@ def build_index(input_paths: list[str], cfg: BuildConfig) -> dict:
         report["postings_per_sec"] = round(stats["total_postings"] / report["total_sec"], 1)
     report["staging_bytes"] = _dir_bytes(cfg.staging_dir)
     report["segments_bytes"] = _dir_bytes(cfg.segments_dir)
-    report["docs_bytes"] = _dir_bytes(cfg.docs_dir)
 
     with open(cfg.stats_path, "w") as f:
         json.dump(

@@ -78,17 +78,41 @@ class SegmentStore:
         return out
 
 
+META_COLS = ["doc_id", "url", "warc_ts", "title", "snippet", "lang", "doclen"]
+
+
 class DocStore:
-    """Point lookups into the docs table (J1: result assembly joins the hit
-    list with doc metadata — reference score_pages.py:187-229)."""
+    """Point lookups for doc metadata (J1: result assembly joins the hit
+    list with doc metadata — reference score_pages.py:187-229).
+
+    Reads a column projection of the staging parquet directly — the build
+    writes no separate docs table. Rows sharing a doc_id (cross-partition
+    url duplicates) are resolved at lookup: winner = max warc_ts, tie-break
+    url asc (the same total order the postings build uses)."""
 
     def __init__(self, docs_dir: str):
         self.ds = pads.dataset(docs_dir, format="parquet")
+        names = set(self.ds.schema.names)
+        self.columns = [c for c in META_COLS if c in names]
+
+    def _resolve(self, t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        if ids.size == len(np.unique(ids)):
+            return t
+        df = t.select(["doc_id", "warc_ts", "url"]).to_pandas()
+        keep = (
+            df.sort_values(["doc_id", "warc_ts", "url"],
+                           ascending=[True, False, True], kind="stable")
+            .drop_duplicates("doc_id", keep="first").index.to_numpy()
+        )
+        return t.take(pa.array(np.sort(keep)))
 
     def lookup(self, doc_ids: np.ndarray) -> pa.Table:
-        return self.ds.to_table(
-            filter=pc.field("doc_id").isin(pa.array(np.asarray(doc_ids, dtype=np.int64)))
+        t = self.ds.to_table(
+            columns=self.columns,
+            filter=pc.field("doc_id").isin(pa.array(np.asarray(doc_ids, dtype=np.int64))),
         )
+        return self._resolve(t)
 
     def scan(self, columns: list[str] | None = None) -> pa.Table:
-        return self.ds.to_table(columns=columns)
+        return self._resolve(self.ds.to_table(columns=columns or self.columns))

@@ -43,7 +43,7 @@ class QueryEngine:
         self.stats = IndexStats(os.path.join(index_dir, "stats.json"))
         self.segments = SegmentStore(os.path.join(index_dir, "segments"),
                                      self.stats.n_shards)
-        self.docs = DocStore(os.path.join(index_dir, "docs"))
+        self.docs = DocStore(os.path.join(index_dir, "staging"))
         self.mode = mode
         # the reference strips query stopwords before scoring
         # (controllers.py:55); default on for pears fidelity, off for bm25.

@@ -230,11 +230,15 @@ def generate_queries() -> pa.Table:
 
 
 def corpus_cache_dir(n_docs: int, seed: int = SEED, root: str = "/tmp/pears_fixtures") -> str:
-    """Generate-once cache for tests/bench: /tmp/pears_fixtures/n{N}-s{seed}."""
+    """Generate-once cache for tests/bench: /tmp/pears_fixtures/n{N}-s{seed}.
+
+    File count grows with the corpus (~2000 docs/file) so reads, staging
+    waves and resume partitions keep useful parallelism at bench sizes.
+    """
     d = os.path.join(root, f"n{n_docs}-s{seed}")
     marker = os.path.join(d, "_DONE")
     if not os.path.exists(marker):
-        write_corpus(d, n_docs, seed=seed)
+        write_corpus(d, n_docs, n_files=max(4, n_docs // 2000), seed=seed)
         with open(marker, "w") as f:
             f.write("ok")
     return d

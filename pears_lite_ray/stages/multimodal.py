@@ -1,0 +1,214 @@
+"""Multimodal columns: opaque ``binary`` payloads + typed metadata, with
+decode / feature-extract / resize / frame-sample as actor-pool
+``map_batches`` stages.
+
+The real decode libraries (PIL/ffmpeg/soundfile) are NOT in this
+environment, so the byte-level decode is pluggable:
+
+* ``codec="raw"`` (default) — a deterministic packed format (tests +
+  plumbing): ``b"IMG1" + uint16 w + uint16 h + w*h gray bytes`` for
+  images, ``b"AUD1" + uint32 sr + int16 samples`` for audio,
+  ``b"VID1" + uint16 w,h + uint16 n_frames + frames`` for video.
+* ``codec="pil"`` / ``codec="ffmpeg"`` — gated behind import-try;
+  raises ``NotImplementedError`` here (STUB, clearly marked), but the
+  Ray-side contract (schemas, batch sizing, actor signature, output
+  layout) is identical and fully exercised by the raw codec.
+
+Scale notes: payloads are large → callers should pass a SMALL
+``batch_size`` (payload bytes × batch_size × concurrency must fit the
+worker heap); the stages never hold more than one batch.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),      # "image" | "audio" | "video"
+        ("payload", pa.binary()),
+    ]
+)
+
+DECODED_IMAGE_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("pixels", pa.binary()),    # row-major grayscale
+    ]
+)
+
+
+def pack_image(w: int, h: int, pixels: np.ndarray) -> bytes:
+    return b"IMG1" + struct.pack("<HH", w, h) + pixels.astype(np.uint8).tobytes()
+
+
+def pack_audio(sr: int, samples: np.ndarray) -> bytes:
+    return b"AUD1" + struct.pack("<I", sr) + samples.astype(np.int16).tobytes()
+
+
+def pack_video(w: int, h: int, frames: np.ndarray) -> bytes:
+    n = frames.shape[0]
+    return (b"VID1" + struct.pack("<HHH", w, h, n)
+            + frames.astype(np.uint8).tobytes())
+
+
+class DecodeImageStage:
+    """payload → (width, height, pixels). Stateful: the codec handle is
+    opened once per actor in ``__init__`` (for real codecs this is the
+    library/model load)."""
+
+    def __init__(self, codec: str = "raw"):
+        if codec == "raw":
+            self._decode = self._decode_raw
+        elif codec == "pil":
+            try:
+                from PIL import Image  # noqa: F401
+            except ImportError as e:  # pragma: no cover - env has no PIL
+                raise NotImplementedError(
+                    "STUB: PIL decode requires pillow, not present in this "
+                    "environment; use codec='raw'"
+                ) from e
+            raise NotImplementedError("STUB: PIL branch not implemented")
+        else:
+            raise ValueError(f"unknown codec {codec}")
+
+    @staticmethod
+    def _decode_raw(payload: bytes) -> tuple[int, int, bytes]:
+        if payload[:4] != b"IMG1":
+            raise ValueError("not an IMG1 payload")
+        w, h = struct.unpack_from("<HH", payload, 4)
+        pix = payload[8:8 + w * h]
+        if len(pix) != w * h:
+            raise ValueError("truncated image payload")
+        return w, h, pix
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ws, hs, px = [], [], [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            w, h, pix = self._decode(payload)
+            ids.append(mid)
+            ws.append(w)
+            hs.append(h)
+            px.append(pix)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(ws, pa.int32()),
+                pa.array(hs, pa.int32()),
+                pa.array(px, pa.binary()),
+            ],
+            schema=DECODED_IMAGE_SCHEMA,
+        )
+
+
+class ResizeImageStage:
+    """Nearest-neighbor resize to (out_w, out_h) — vectorized index gather
+    per image; the per-actor state is just the target geometry."""
+
+    def __init__(self, out_w: int = 16, out_h: int = 16):
+        self.out_w = out_w
+        self.out_h = out_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_px = []
+        for w, h, pix in zip(
+            batch["width"].to_pylist(), batch["height"].to_pylist(),
+            batch["pixels"].to_pylist(),
+        ):
+            img = np.frombuffer(pix, dtype=np.uint8).reshape(h, w)
+            ys = (np.arange(self.out_h) * h) // self.out_h
+            xs = (np.arange(self.out_w) * w) // self.out_w
+            out_px.append(img[np.ix_(ys, xs)].tobytes())
+        return pa.Table.from_arrays(
+            [
+                batch["media_id"],
+                pa.array([self.out_w] * len(batch), pa.int32()),
+                pa.array([self.out_h] * len(batch), pa.int32()),
+                pa.array(out_px, pa.binary()),
+            ],
+            schema=DECODED_IMAGE_SCHEMA,
+        )
+
+
+class ImageFeatureStage:
+    """Decoded image → feature vector (16-bin intensity histogram, L1
+    normalized) — the batched-model-inference shape: one numpy pass per
+    batch, output a fixed-width ``list<float>`` column."""
+
+    BINS = 16
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for pix in batch["pixels"].to_pylist():
+            arr = np.frombuffer(pix, dtype=np.uint8)
+            hist = np.bincount(arr >> 4, minlength=self.BINS).astype(np.float64)
+            feats.append((hist / max(arr.size, 1)).tolist())
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "feature": pa.array(feats, pa.list_(pa.float64())),
+            }
+        )
+
+
+class FrameSampleStage:
+    """VID1 payload → every ``stride``-th frame as an IMG1 row (flat_map
+    shape: one input row → n output rows)."""
+
+    def __init__(self, stride: int = 2):
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, payloads = [], [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            if payload[:4] != b"VID1":
+                raise ValueError("not a VID1 payload")
+            w, h, n = struct.unpack_from("<HHH", payload, 4)
+            frames = np.frombuffer(
+                payload, dtype=np.uint8, count=w * h * n, offset=10
+            ).reshape(n, h, w)
+            for i in range(0, n, self.stride):
+                ids.append(mid)
+                fidx.append(i)
+                payloads.append(pack_image(w, h, frames[i]))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+
+class DecodeAudioStage:
+    """AUD1 payload → (sample_rate, n_samples, rms) summary row."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        srs, ns, rms = [], [], []
+        for payload in batch["payload"].to_pylist():
+            if payload[:4] != b"AUD1":
+                raise ValueError("not an AUD1 payload")
+            (sr,) = struct.unpack_from("<I", payload, 4)
+            samples = np.frombuffer(payload, dtype=np.int16, offset=8)
+            srs.append(sr)
+            ns.append(samples.size)
+            rms.append(float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+                       if samples.size else 0.0)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "sample_rate": pa.array(srs, pa.int32()),
+                "n_samples": pa.array(ns, pa.int64()),
+                "rms": pa.array(rms, pa.float64()),
+            }
+        )

@@ -65,8 +65,10 @@ def test_build_report_sane(built_index, oracle):
 
 
 def test_docs_table_unique_ids(built_index):
+    from pears_lite_ray.index.segments import DocStore
+
     out, _, _ = built_index
-    t = pq.read_table(os.path.join(out, "docs"))
+    t = DocStore(os.path.join(out, "staging")).scan()
     ids = t["doc_id"].to_numpy()
     assert len(np.unique(ids)) == len(ids)
 

@@ -1,0 +1,151 @@
+"""Driver-facing operator pipelines: dedup family on a planted-duplicate
+documents table, similarity search on the testdata embeddings, and the
+SQL-oracle parity harness on a small synthetic table."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+    "lima mike november oscar papa quebec romeo sierra tango uniform victor"
+).split()
+
+
+@pytest.fixture(scope="module")
+def planted_docs_dir(tmp_path_factory):
+    """documents.parquet with: 0/1 exact dups, 2/3 near dups (1-word edit),
+    the rest random — plus an embeddings.parquet for the knn entries."""
+    rng = np.random.RandomState(11)
+    texts = []
+    base = " ".join(rng.choice(WORDS, size=60))
+    texts.append(base)                      # 0
+    texts.append(base)                      # 1 exact dup of 0
+    near = base.split()
+    near[30] = "zulu"
+    texts.append(" ".join(near))            # 2 near dup of 0
+    near2 = list(near)
+    near2[10] = "yankee"
+    texts.append(" ".join(near2))           # 3 near dup of 2
+    for _ in range(26):
+        texts.append(" ".join(rng.choice(WORDS, size=40)))
+    d = tmp_path_factory.mktemp("planted")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+            }
+        ),
+        os.path.join(str(d), "documents.parquet"),
+    )
+    emb = rng.standard_normal((40, 16)).astype(np.float32)
+    emb[7] = emb[0] * 2.0 + rng.standard_normal(16).astype(np.float32) * 0.01
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(40), pa.int64()),
+                "embedding": pa.array([list(map(float, v)) for v in emb],
+                                      pa.list_(pa.float32())),
+            }
+        ),
+        os.path.join(str(d), "embeddings.parquet"),
+    )
+    return str(d)
+
+
+def test_exact_dedup_canonical(ray_session, planted_docs_dir):
+    from pears_lite_ray.pipelines.dedup import q_exact_dedup
+
+    out = q_exact_dedup(planted_docs_dir).to_pandas().set_index("doc_id")
+    assert out.loc[0, "canonical_doc_id"] == 0
+    assert out.loc[1, "canonical_doc_id"] == 0      # exact dup folded
+    assert out.loc[2, "canonical_doc_id"] == 2      # near dup NOT folded
+    assert (out.loc[4:, "canonical_doc_id"] == out.index[4:]).all()
+
+
+def test_jaccard_pairs_find_near_dups(ray_session, planted_docs_dir):
+    from pears_lite_ray.pipelines.dedup import q_jaccard_pairs
+
+    t = q_jaccard_pairs(planted_docs_dir).to_pandas()
+    pairs = {(a, b): j for a, b, j in zip(t.doc_a, t.doc_b, t.jaccard)}
+    assert pairs[(0, 1)] == 1.0                    # identical shingle sets
+    assert pairs[(0, 2)] > 0.8                     # one-word edit
+    assert pairs[(2, 3)] > 0.8
+
+
+def test_minhash_lsh_recalls_planted(ray_session, planted_docs_dir):
+    from pears_lite_ray.pipelines.dedup import q_minhash_lsh
+
+    t = q_minhash_lsh(planted_docs_dir)
+    got = {(a, b) for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist())}
+    assert (0, 1) in got
+    assert (0, 2) in got
+    jac = dict(zip(
+        zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()),
+        t["jaccard"].to_pylist(),
+    ))
+    assert jac[(0, 1)] == 1.0
+
+
+def test_simhash_near_dups_close(ray_session, planted_docs_dir):
+    from pears_lite_ray.pipelines.dedup import q_simhash
+
+    t = q_simhash(planted_docs_dir).to_pandas().set_index("doc_id")
+    h = t["simhash"]
+    assert h.loc[0] == h.loc[1]
+    ham = bin(int(h.loc[0]) ^ int(h.loc[2])).count("1")
+    assert ham <= 8                          # one-word edit → few bits flip
+    rand_ham = bin(int(h.loc[0]) ^ int(h.loc[10])).count("1")
+    assert rand_ham > ham
+
+
+def test_knn_cosine_finds_planted_neighbor(ray_session, planted_docs_dir):
+    from pears_lite_ray.pipelines.similarity import q_knn_cosine
+
+    t = q_knn_cosine(planted_docs_dir)
+    rows = [
+        (q, n, c)
+        for q, n, c in zip(t["query_id"].to_pylist(),
+                           t["neighbor_id"].to_pylist(),
+                           t["cos"].to_pylist())
+        if q == 0
+    ]
+    # vec 7 ≈ 2 * vec 0 → top neighbor of query 0
+    top = max(rows, key=lambda r: (r[2], -r[1]))
+    assert top[1] == 7 and top[2] > 0.99
+
+
+def test_knn_lsh_overlaps_bruteforce(ray_session, planted_docs_dir):
+    from pears_lite_ray.pipelines.similarity import q_knn_cosine, q_knn_lsh
+
+    bf = q_knn_cosine(planted_docs_dir)
+    lsh = q_knn_lsh(planted_docs_dir)
+
+    def tops(t):
+        d = {}
+        for q, n, c in zip(t["query_id"].to_pylist(), t["neighbor_id"].to_pylist(),
+                           t["cos"].to_pylist()):
+            d.setdefault(q, []).append((c, n))
+        return {q: {n for _, n in sorted(v, reverse=True)[:5]} for q, v in d.items()}
+
+    tb, tl = tops(bf), tops(lsh)
+    # every LSH hit must be a genuine vector with correct cosine (subset of
+    # candidates); require nonzero overlap with the exact top-5 somewhere
+    overlap = sum(len(tb[q] & tl.get(q, set())) for q in tb)
+    assert overlap > 0
+
+
+def test_langid_and_fingerprint_shapes(ray_session, planted_docs_dir):
+    from pears_lite_ray.pipelines.textstats import q_fingerprint, q_langid
+
+    lid = q_langid(planted_docs_dir).to_pandas()
+    assert set(lid.columns) == {"doc_id", "pred_lang", "confidence"}
+    assert len(lid) == 30
+    fp = q_fingerprint(planted_docs_dir).to_pandas().set_index("doc_id")
+    assert (fp.loc[0] == fp.loc[1]).all()    # identical docs → same digest
+    assert fp.loc[0, "fp_digest"] != fp.loc[10, "fp_digest"]
