@@ -267,13 +267,23 @@ def encode_posting_list(
 
 
 def decode_posting_list(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Decode a full posting list row → (doc_ids, tfs, doclens), doc-sorted."""
-    parts = [decode_block(row, i) for i in range(len(row["block_n"]))]
-    return (
-        np.concatenate([p[0] for p in parts]),
-        np.concatenate([p[1] for p in parts]),
-        np.concatenate([p[2] for p in parts]),
-    )
+    """Decode a full posting list row → (doc_ids, tfs, doclens), doc-sorted.
+
+    ONE varbyte pass per stream (varbyte is self-delimiting, so the
+    concatenated block chunks decode as a single value stream); per-block
+    doc re-basing is undone with a segmented cumsum. A 900-block list costs
+    3 numpy calls instead of 2700 (~80 µs each) — this is the exact
+    scorer's hot path."""
+    bn = np.asarray(row["block_n"], dtype=np.int64)
+    total = int(bn.sum())
+    gaps = varbyte_decode(row["doc_bytes"], total)
+    starts = np.r_[0, np.cumsum(bn)[:-1]]
+    c = np.cumsum(gaps, dtype=np.uint64)
+    base = np.repeat(c[starts] - gaps[starts], bn)
+    docs = (c - base).astype(np.int64)
+    tfs = varbyte_decode(row["tf_bytes"], total)
+    dls = varbyte_decode(row["dl_bytes"], total)
+    return docs, tfs.astype(np.int64), dls.astype(np.int64)
 
 
 def decode_block(row: dict, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

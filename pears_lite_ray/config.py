@@ -32,8 +32,12 @@ JUSTEXT_LENGTH_HIGH = 100
 # Index layout
 N_TERM_SHARDS = 16          # segments/termhash=<h>/ directories
 BLOCK_SIZE = 128            # postings per block-max block
-HOT_DF_THRESHOLD = 100_000  # salt terms with df above this (two-stage merge)
-SALT_SHIFT = 18             # doc_id >> SALT_SHIFT is the salt bucket
+# Skew splitting (SURVEY §4.3): a term whose in-batch df exceeds
+# HOT_BATCH_FRACTION × batch docs is salted into 2**SALT_BITS doc-range
+# buckets keyed by the top bits of doc_id (uniform hash → balanced, ordered,
+# disjoint ranges; stage-2 merge is a concatenation).
+SALT_BITS = 4
+HOT_BATCH_FRACTION = 0.8
 
 
 @dataclass
@@ -47,8 +51,8 @@ class BuildConfig:
     keep_positions: bool = True       # positions only needed for "pears" scoring
     n_shards: int = N_TERM_SHARDS
     block_size: int = BLOCK_SIZE
-    hot_df_threshold: int = HOT_DF_THRESHOLD
-    salt_shift: int = SALT_SHIFT
+    salt_bits: int = SALT_BITS          # 0 disables skew splitting
+    hot_frac: float = HOT_BATCH_FRACTION
     # actor-pool sizing; (min, max) autoscaling pools. "auto" resolves at
     # build time from the cluster CPU count, keeping min-actors small enough
     # that the pools can never starve the read/write task operators of CPUs

@@ -36,7 +36,7 @@ from ray.data.aggregate import Count, Sum
 
 from ..config import BM25_B, BM25_K1, BuildConfig
 from ..stages.fused import FusedExtractTokenize
-from ..stages.postings import MergeTermGroup, explode_partials
+from ..stages.postings import ConcatSubSegments, MergeTermGroup, explode_partials
 from ..state.manifest import BuildManifest
 
 META_COLS = ["doc_id", "url", "warc_ts", "title", "snippet", "lang", "doclen"]
@@ -288,21 +288,41 @@ def build_index(input_paths: list[str], cfg: BuildConfig) -> dict:
     # bigger bundles than the actor stages: explode is ~40 ms per 512 rows,
     # so task-dispatch overhead dominates at small batch sizes — and larger
     # batches also collapse more postings per partial row before the shuffle
+    salt_bits, hot_frac = cfg.salt_bits, cfg.hot_frac
     partials = post.map_batches(
-        lambda t: explode_partials(t, keep_positions=keep_pos),
+        lambda t: explode_partials(t, keep_positions=keep_pos,
+                                   salt_bits=salt_bits, hot_frac=hot_frac),
         batch_format="pyarrow",
         batch_size=cfg.batch_size * 8,
     )
-    merger = MergeTermGroup(
+    merge_kwargs = dict(
         avgdl=stats["avgdl"], k1=BM25_K1, b=BM25_B,
         block_size=cfg.block_size, n_shards=cfg.n_shards,
         keep_positions=keep_pos,
     )
+    merger = MergeTermGroup(**merge_kwargs)
 
     def merge_group(t: pa.Table) -> pa.Table:
         return merger(t)
 
-    segments = partials.groupby("term_id").map_groups(merge_group, batch_format="pyarrow")
+    # stage-1 shuffle on (term, salt): a hot term's postings spread over
+    # 2**salt_bits groups instead of one giant one (SURVEY §4.3)
+    sub = partials.groupby(["term_id", "salt"]).map_groups(
+        merge_group, batch_format="pyarrow"
+    )
+    if salt_bits > 0:
+        concat = ConcatSubSegments(**merge_kwargs)
+
+        def concat_group(t: pa.Table) -> pa.Table:
+            return concat(t)
+
+        # stage-2: tiny shuffle over ≤ 2**salt_bits encoded rows per term;
+        # ordered sub-ranges concatenate without re-encoding
+        segments = sub.groupby("term_id").map_groups(
+            concat_group, batch_format="pyarrow"
+        )
+    else:
+        segments = sub
     try:
         segments.write_parquet(cfg.segments_dir, partition_cols=["termhash"])
     except TypeError:  # older Ray without partition_cols

@@ -43,6 +43,9 @@ class IndexStats:
 class SegmentStore:
     """Posting-list lookup over the sharded segments directory."""
 
+    CACHE_CAP = 4096  # term rows kept hot (the reference re-unpickles the
+    #                   ENTIRE index per query — overlap_calculation.py:125)
+
     def __init__(self, segments_dir: str, n_shards: int):
         self.dir = segments_dir
         self.n_shards = n_shards
@@ -50,6 +53,7 @@ class SegmentStore:
             name.startswith("termhash=") for name in os.listdir(segments_dir)
         )
         self._shard_ds: dict[int, pads.Dataset] = {}
+        self._row_cache: dict[int, dict | None] = {}
 
     def _dataset_for_shard(self, shard: int) -> pads.Dataset | None:
         if shard in self._shard_ds:
@@ -64,7 +68,16 @@ class SegmentStore:
         out: dict[int, dict] = {}
         by_shard: dict[int, list[int]] = {}
         for t in term_ids:
-            by_shard.setdefault(int(t) % self.n_shards, []).append(int(t))
+            t = int(t)
+            if t in self._row_cache:  # None = known-absent
+                row = self._row_cache[t]
+                if row is not None:
+                    out[t] = row
+                continue
+            by_shard.setdefault(t % self.n_shards, []).append(t)
+        if not by_shard:
+            return out
+        fetched: dict[int, dict] = {}
         for shard, ts in by_shard.items():
             ds = self._dataset_for_shard(shard)
             if ds is None:
@@ -74,7 +87,13 @@ class SegmentStore:
                 filter=pc.field("term_id").isin(pa.array(ts, pa.int64())),
             )
             for row in tbl.to_pylist():
-                out[int(row["term_id"])] = row
+                fetched[int(row["term_id"])] = row
+        if len(self._row_cache) > self.CACHE_CAP:
+            self._row_cache.clear()
+        for ts in by_shard.values():
+            for t in ts:
+                self._row_cache[t] = fetched.get(t)
+        out.update(fetched)
         return out
 
 

@@ -22,6 +22,7 @@ from .. import codec
 PARTIAL_SCHEMA = pa.schema(
     [
         ("term_id", pa.int64()),
+        ("salt", pa.int32()),
         ("n", pa.int32()),
         ("doc_bytes", pa.binary()),
         ("tf_bytes", pa.binary()),
@@ -34,6 +35,7 @@ SEGMENT_SCHEMA = pa.schema(
     [
         ("term_id", pa.int64()),
         ("termhash", pa.int32()),
+        ("first_doc", pa.int64()),
         ("df", pa.int64()),
         ("cf", pa.int64()),
         ("doc_bytes", pa.binary()),
@@ -58,11 +60,20 @@ def _flatten_list_col(batch: pa.Table, name: str) -> tuple[np.ndarray, np.ndarra
     return flat, lengths
 
 
-def explode_partials(batch: pa.Table, keep_positions: bool = True) -> pa.Table:
+def explode_partials(batch: pa.Table, keep_positions: bool = True,
+                     salt_bits: int = 0, hot_frac: float = 0.5) -> pa.Table:
     """Tokenized doc rows → one partial posting-list row per distinct term.
 
     Entirely vectorized: one lexsort over the batch's (term, doc, pos)
     triples, one varbyte encode per output stream, byte-sliced per term.
+
+    **Skew splitting** (SURVEY §4.3): with ``salt_bits`` > 0, a term whose
+    in-batch df exceeds ``hot_frac`` × batch docs (a Zipfian head term —
+    locally detectable, no global df pass needed) is split into up to
+    ``2**salt_bits`` sub-partials keyed by the TOP bits of doc_id. Because
+    doc ids are uniform hashes, the buckets cover disjoint, ordered doc
+    ranges: stage-2 can concatenate the per-bucket merged sub-lists without
+    re-encoding. Cold terms carry salt 0.
     """
     flat_terms, lengths = _flatten_list_col(batch, "term_ids")
     if flat_terms.size == 0:
@@ -90,8 +101,23 @@ def explode_partials(batch: pa.Table, keep_positions: bool = True) -> pa.Table:
 
     # term boundaries in pair space
     tchange = np.r_[True, term_pair[1:] != term_pair[:-1]]
-    tstarts = np.nonzero(tchange)[0]
+    tstarts0 = np.nonzero(tchange)[0]
+    n_per_term0 = np.diff(np.r_[tstarts0, term_pair.size]).astype(np.int64)
+
+    if salt_bits > 0:
+        hot = n_per_term0 > hot_frac * len(batch)
+        hot_pair = np.repeat(hot, n_per_term0)
+        salt_pair = np.where(
+            hot_pair, (doc_pair >> np.uint64(63 - salt_bits)).astype(np.int64), 0
+        ).astype(np.int32)
+        schange = np.r_[True, salt_pair[1:] != salt_pair[:-1]]
+        boundary = tchange | (hot_pair & schange)
+    else:
+        salt_pair = np.zeros(term_pair.size, dtype=np.int32)
+        boundary = tchange
+    tstarts = np.nonzero(boundary)[0]
     terms = term_pair[tstarts].astype(np.int64)
+    salts = salt_pair[tstarts]
     n_per_term = np.diff(np.r_[tstarts, term_pair.size]).astype(np.int32)
 
     # doc gaps, re-based at each term start (partial = one delta run)
@@ -114,6 +140,7 @@ def explode_partials(batch: pa.Table, keep_positions: bool = True) -> pa.Table:
     return pa.Table.from_arrays(
         [
             pa.array(terms, pa.int64()),
+            pa.array(salts, pa.int32()),
             pa.array(n_per_term, pa.int32()),
             pa.array(doc_chunks, pa.binary()),
             pa.array(tf_chunks, pa.binary()),
@@ -205,22 +232,136 @@ class MergeTermGroup:
             avgdl=self.avgdl, k1=self.k1, b=self.b,
             block_size=self.block_size, positions=positions,
         )
-        return pa.Table.from_arrays(
-            [
-                pa.array([term_id], pa.int64()),
-                pa.array([term_id % self.n_shards], pa.int32()),
-                pa.array([row["df"]], pa.int64()),
-                pa.array([row["cf"]], pa.int64()),
-                pa.array([row["doc_bytes"]], pa.binary()),
-                pa.array([row["tf_bytes"]], pa.binary()),
-                pa.array([row["dl_bytes"]], pa.binary()),
-                pa.array([row["pos_bytes"]], pa.large_binary()),
-                pa.array([row["block_last_doc"]], pa.list_(pa.int64())),
-                pa.array([row["block_max_tfnorm"]], pa.list_(pa.float64())),
-                pa.array([row["block_doc_off"]], pa.list_(pa.int32())),
-                pa.array([row["block_tf_off"]], pa.list_(pa.int32())),
-                pa.array([row["block_dl_off"]], pa.list_(pa.int32())),
-                pa.array([row["block_n"]], pa.list_(pa.int32())),
-            ],
-            schema=SEGMENT_SCHEMA,
+        return _segment_row_table(term_id, term_id % self.n_shards,
+                                  int(doc_all[0]) if doc_all.size else 0, row)
+
+
+def _segment_row_table(term_id: int, termhash: int, first_doc: int, row: dict) -> pa.Table:
+    return pa.Table.from_arrays(
+        [
+            pa.array([term_id], pa.int64()),
+            pa.array([termhash], pa.int32()),
+            pa.array([first_doc], pa.int64()),
+            pa.array([row["df"]], pa.int64()),
+            pa.array([row["cf"]], pa.int64()),
+            pa.array([row["doc_bytes"]], pa.binary()),
+            pa.array([row["tf_bytes"]], pa.binary()),
+            pa.array([row["dl_bytes"]], pa.binary()),
+            pa.array([row["pos_bytes"]], pa.large_binary()),
+            pa.array([row["block_last_doc"]], pa.list_(pa.int64())),
+            pa.array([row["block_max_tfnorm"]], pa.list_(pa.float64())),
+            pa.array([row["block_doc_off"]], pa.list_(pa.int32())),
+            pa.array([row["block_tf_off"]], pa.list_(pa.int32())),
+            pa.array([row["block_dl_off"]], pa.list_(pa.int32())),
+            pa.array([row["block_n"]], pa.list_(pa.int32())),
+        ],
+        schema=SEGMENT_SCHEMA,
+    )
+
+
+class ConcatSubSegments:
+    """Stage-2 of the salted shuffle: per-term group of merged sub-lists →
+    one final segment row (the streaming k-way posting merge of the
+    north_star, degenerate for cold terms).
+
+    Sub-lists from doc-range salt buckets cover disjoint, ordered ranges,
+    so the merge is a byte CONCATENATION with offset rebasing — possible
+    because blocks decode independently and the stored block bound is the
+    idf-free tf-normalization (codec.encode_posting_list). If ranges
+    overlap (a term classified hot in one batch and cold in another), the
+    rare fallback decodes and re-merges exactly.
+    """
+
+    def __init__(self, avgdl: float, k1: float, b: float, block_size: int,
+                 n_shards: int, keep_positions: bool = True):
+        self.avgdl = avgdl
+        self.k1 = k1
+        self.b = b
+        self.block_size = block_size
+        self.n_shards = n_shards
+        self.keep_positions = keep_positions
+
+    def _fallback_merge(self, group: pa.Table) -> pa.Table:
+        term_id = int(group["term_id"][0].as_py())
+        rows = group.to_pylist()
+        docs_p, tfs_p, dls_p = [], [], []
+        cnts_p, flat_p = [], []
+        for r in rows:
+            d, t, l = codec.decode_posting_list(r)
+            docs_p.append(d)
+            tfs_p.append(t)
+            dls_p.append(l)
+            if self.keep_positions:
+                stream = codec.varbyte_decode(r["pos_bytes"])
+                cnts, flat = codec.decode_positions_stream(
+                    stream, d.size, counts=t.astype(np.int64)
+                )
+                cnts_p.append(cnts)
+                flat_p.append(flat)
+        doc_all = np.concatenate(docs_p)
+        tf_all = np.concatenate(tfs_p)
+        dl_all = np.concatenate(dls_p)
+        order = np.argsort(doc_all, kind="stable")
+        sorted_docs = doc_all[order]
+        first = np.r_[True, sorted_docs[1:] != sorted_docs[:-1]]
+        if not first.all():
+            order = order[first]
+        positions = None
+        if self.keep_positions:
+            positions = _gather_positions(
+                np.concatenate(cnts_p), np.concatenate(flat_p), order
+            )
+        row = codec.encode_posting_list(
+            doc_all[order], tf_all[order], dl_all[order],
+            avgdl=self.avgdl, k1=self.k1, b=self.b,
+            block_size=self.block_size, positions=positions,
         )
+        return _segment_row_table(term_id, term_id % self.n_shards,
+                                  int(doc_all[order][0]), row)
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        if group.num_rows == 1:
+            return group  # cold term: stage-1 row is already final
+        firsts = group["first_doc"].to_numpy()
+        order = np.argsort(firsts, kind="stable")
+        lasts = np.array([bl[-1] for bl in group["block_last_doc"].to_pylist()],
+                         dtype=np.int64)
+        if not (lasts[order][:-1] < firsts[order][1:]).all():
+            return self._fallback_merge(group)
+        g = group.take(pa.array(order))
+        term_id = int(g["term_id"][0].as_py())
+        doc_b = g["doc_bytes"].to_pylist()
+        tf_b = g["tf_bytes"].to_pylist()
+        dl_b = g["dl_bytes"].to_pylist()
+        doc_sh = np.r_[0, np.cumsum([len(b) for b in doc_b])[:-1]]
+        tf_sh = np.r_[0, np.cumsum([len(b) for b in tf_b])[:-1]]
+        dl_sh = np.r_[0, np.cumsum([len(b) for b in dl_b])[:-1]]
+
+        def cat_off(col: str, shifts) -> list[int]:
+            out: list[int] = []
+            for offs, sh in zip(g[col].to_pylist(), shifts):
+                out.extend(int(o) + int(sh) for o in offs)
+            return out
+
+        def cat(col: str) -> list:
+            out: list = []
+            for v in g[col].to_pylist():
+                out.extend(v)
+            return out
+
+        row = {
+            "df": int(np.sum(g["df"].to_numpy())),
+            "cf": int(np.sum(g["cf"].to_numpy())),
+            "doc_bytes": b"".join(doc_b),
+            "tf_bytes": b"".join(tf_b),
+            "dl_bytes": b"".join(dl_b),
+            "pos_bytes": b"".join(g["pos_bytes"].to_pylist()),
+            "block_last_doc": cat("block_last_doc"),
+            "block_max_tfnorm": cat("block_max_tfnorm"),
+            "block_doc_off": cat_off("block_doc_off", doc_sh),
+            "block_tf_off": cat_off("block_tf_off", tf_sh),
+            "block_dl_off": cat_off("block_dl_off", dl_sh),
+            "block_n": cat("block_n"),
+        }
+        return _segment_row_table(term_id, term_id % self.n_shards,
+                                  int(firsts[order][0]), row)
