@@ -53,10 +53,14 @@ def topk_select(doc_ids: np.ndarray, scores: np.ndarray, k: int):
 
 
 def exact_topk(rows: list[dict], k: int, n_docs: int, avgdl: float,
-               k1: float, b: float, conjunctive: bool = False):
+               k1: float, b: float, conjunctive: bool = False,
+               exclude: np.ndarray | None = None):
     if not rows:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     docs, scores, _ = _accumulate(rows, n_docs, avgdl, k1, b, conjunctive)
+    if exclude is not None and exclude.size:
+        keep = ~np.isin(docs, exclude, assume_unique=False)
+        docs, scores = docs[keep], scores[keep]
     return topk_select(docs, scores, k)
 
 
@@ -144,7 +148,8 @@ _MAXDOC = np.iinfo(np.int64).max
 
 class BlockMaxWand:
     def __init__(self, rows: list[dict], n_docs: int, avgdl: float,
-                 k1: float, b: float):
+                 k1: float, b: float, exclude: np.ndarray | None = None):
+        self.exclude = exclude if exclude is not None else np.empty(0, np.int64)
         self.cursors = [
             _Cursor(r, float(codec.bm25_idf(float(r["df"]), float(n_docs))),
                     avgdl, k1, b, ord_=i)
@@ -207,7 +212,13 @@ class BlockMaxWand:
                 for c in sorted(at_pivot, key=lambda c: c.ord):
                     score += c.score_current()
                 item = (score, -pivot_doc)
-                if len(heap) < k:
+                if self.exclude.size:
+                    j = int(np.searchsorted(self.exclude, pivot_doc))
+                    if j < self.exclude.size and int(self.exclude[j]) == pivot_doc:
+                        item = None  # tombstoned: cursors still advance below
+                if item is None:
+                    pass
+                elif len(heap) < k:
                     heapq.heappush(heap, item)
                 elif item > heap[0]:
                     heapq.heapreplace(heap, item)
@@ -232,7 +243,7 @@ class BlockMaxWand:
 
 
 def wand_topk(rows: list[dict], k: int, n_docs: int, avgdl: float,
-              k1: float, b: float):
+              k1: float, b: float, exclude: np.ndarray | None = None):
     if not rows:
         return np.empty(0, np.int64), np.empty(0, np.float64)
-    return BlockMaxWand(rows, n_docs, avgdl, k1, b).topk(k)
+    return BlockMaxWand(rows, n_docs, avgdl, k1, b, exclude=exclude).topk(k)

@@ -44,6 +44,10 @@ class QueryEngine:
         self.segments = SegmentStore(os.path.join(index_dir, "segments"),
                                      self.stats.n_shards)
         self.docs = DocStore(os.path.join(index_dir, "staging"))
+        # tombstoned docs (D1: deletes never renumber — maintenance.py)
+        from ..index.maintenance import load_tombstones
+
+        self.tombstones = load_tombstones(index_dir)
         self.mode = mode
         # the reference strips query stopwords before scoring
         # (controllers.py:55); default on for pears fidelity, off for bm25.
@@ -86,12 +90,13 @@ class QueryEngine:
             # a query term absent from the corpus empties the intersection
             # (reference: posindex[w] is an empty dict → empty candidate set)
             return np.empty(0, np.int64), np.empty(0, np.float64)
+        excl = self.tombstones if self.tombstones.size else None
         if conjunctive or not use_wand:
             return bm25.exact_topk(rows, k, self.stats.n_docs, self.stats.avgdl,
                                    self.stats.k1, self.stats.b,
-                                   conjunctive=conjunctive)
+                                   conjunctive=conjunctive, exclude=excl)
         return bm25.wand_topk(rows, k, self.stats.n_docs, self.stats.avgdl,
-                              self.stats.k1, self.stats.b)
+                              self.stats.k1, self.stats.b, exclude=excl)
 
     def _pears_scores(self, q, pieces, ids, rows_by_id, k):
         if self.stats.tokenizer == "spm":
@@ -113,6 +118,8 @@ class QueryEngine:
         doc_ids = np.array(sorted(full), dtype=np.int64)
         scores = np.array([full[int(d)] for d in doc_ids], dtype=np.float64)
         keep = scores > 0  # bestURLs keeps positive scores only (K1)
+        if self.tombstones.size:
+            keep &= ~np.isin(doc_ids, self.tombstones)
         return bm25.topk_select(doc_ids[keep], scores[keep], k)
 
     # -- full search with metadata join (J1) --------------------------------

@@ -109,19 +109,34 @@ class PassthroughExtract:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
-        src_ids = batch["doc_id"].to_numpy()
-        urls = [f"{self.url_prefix}{i}" for i in src_ids]
+        cols = set(batch.column_names)
+        if "doc_id" in cols:
+            # keep the source's own doc_id: already unique + deterministic
+            ids = batch["doc_id"].to_numpy()
+            urls = [f"{self.url_prefix}{i}" for i in ids]
+        else:
+            # url-keyed text corpus (e.g. the CSV source): hash the url,
+            # same contract as the html path
+            urls = batch["url"].to_pylist()
+            ids = doc_ids_for_urls(urls)
+        ts = (
+            batch["warc_ts"].cast(pa.timestamp("us"))
+            if "warc_ts" in cols
+            else pa.array(np.zeros(len(urls), dtype=np.int64), pa.timestamp("us"))
+        )
+        titles = (
+            batch["title"].to_pylist() if "title" in cols
+            else [t[:60] for t in texts]
+        )
         langs = (
-            batch["lang"].to_pylist()
-            if "lang" in batch.column_names else ["en"] * len(texts)
+            batch["lang"].to_pylist() if "lang" in cols else ["en"] * len(texts)
         )
         out = pa.Table.from_arrays(
             [
-                # keep the source's own doc_id: already unique + deterministic
-                pa.array(src_ids, pa.int64()),
+                pa.array(ids, pa.int64()),
                 pa.array(urls, pa.string()),
-                pa.array(np.zeros(len(urls), dtype=np.int64), pa.timestamp("us")),
-                pa.array([t[:60] for t in texts], pa.string()),
+                ts,
+                pa.array(titles, pa.string()),
                 pa.array([t[: self.snippet_chars] for t in texts], pa.string()),
                 pa.array(langs, pa.string()),
                 pa.array(texts, pa.string()),
