@@ -39,7 +39,7 @@ from ..stages.fused import FusedExtractTokenize
 from ..stages.postings import ConcatSubSegments, MergeTermGroup, explode_partials
 from ..state.manifest import BuildManifest
 
-META_COLS = ["doc_id", "url", "warc_ts", "title", "snippet", "lang", "doclen"]
+META_COLS = ["doc_id", "url", "warc_ts", "title", "snippet", "lang", "pod", "doclen"]
 POSTING_COLS = ["doc_id", "doclen", "term_ids", "positions"]
 
 
@@ -328,6 +328,15 @@ def build_index(input_paths: list[str], cfg: BuildConfig) -> dict:
     except TypeError:  # older Ray without partition_cols
         segments.write_parquet(cfg.segments_dir)
     report["segments_sec"] = round(time.perf_counter() - t0, 3)
+
+    # pods table (Q9/A1): per-pod centroid for query routing
+    t0 = time.perf_counter()
+    from ..vocab import Vocab
+    from .pods import build_pods_table
+
+    vocab = Vocab.load(cfg.vocab_path) if cfg.tokenizer == "spm" else None
+    build_pods_table(cfg, vocab)
+    report["pods_sec"] = round(time.perf_counter() - t0, 3)
 
     report.update(stats)
     report["k1"] = BM25_K1

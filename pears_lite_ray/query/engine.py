@@ -40,6 +40,7 @@ RESULT_SCHEMA = pa.schema(
 class QueryEngine:
     def __init__(self, index_dir: str, mode: str = "bm25",
                  strip_query_stopwords: bool | None = None):
+        self._index_dir = index_dir
         self.stats = IndexStats(os.path.join(index_dir, "stats.json"))
         self.segments = SegmentStore(os.path.join(index_dir, "segments"),
                                      self.stats.n_shards)
@@ -68,9 +69,26 @@ class QueryEngine:
         ids, _ = self.tokenizer.encode_ids_positions(q)
         return parsed, q, pieces, ids
 
+    # -- pod routing (Q9) ---------------------------------------------------
+    @property
+    def pod_router(self):
+        if getattr(self, "_pod_router", None) is None:
+            from ..index.pods import PodRouter
+
+            vocab = self.tokenizer.vocab if hasattr(self.tokenizer, "vocab") else None
+            self._pod_router = PodRouter(self._index_dir, vocab)
+        return self._pod_router
+
+    def route_pods(self, query: str, top: int = 3, floor: float = 0.01) -> list[str]:
+        """Top-``top`` pods by centroid cosine; ALL pods when the best score
+        is < ``floor`` (reference score_pages.py:65-93)."""
+        _, _, _, ids = self._prep(query)
+        return self.pod_router.route(np.array(ids, dtype=np.int64), top, floor)
+
     # -- scoring ------------------------------------------------------------
     def search_scores(self, query: str, k: int = DEFAULT_TOP_K,
-                      conjunctive: bool = False, use_wand: bool = False):
+                      conjunctive: bool = False, use_wand: bool = False,
+                      pods: list[str] | None = None):
         # default scorer is the VECTORIZED exact accumulator: decoding a
         # whole list is 3 numpy calls, so it beats the document-at-a-time
         # Python WAND loop by ~10× at in-memory list sizes (measured 851 ms
@@ -91,6 +109,18 @@ class QueryEngine:
             # (reference: posindex[w] is an empty dict → empty candidate set)
             return np.empty(0, np.int64), np.empty(0, np.float64)
         excl = self.tombstones if self.tombstones.size else None
+        if pods is not None:
+            # pod restriction (Q9 pruning): score candidates, keep docs of
+            # the routed pods only — exact path (pruning + WAND skipping
+            # compose poorly; routed scoring stays vectorized)
+            docs, scores, counts = bm25._accumulate(
+                rows, self.stats.n_docs, self.stats.avgdl,
+                self.stats.k1, self.stats.b, conjunctive=conjunctive,
+            )
+            keep = self.pod_router.doc_mask(docs, pods)
+            if excl is not None:
+                keep &= ~np.isin(docs, excl)
+            return bm25.topk_select(docs[keep], scores[keep], k)
         if conjunctive or not use_wand:
             return bm25.exact_topk(rows, k, self.stats.n_docs, self.stats.avgdl,
                                    self.stats.k1, self.stats.b,

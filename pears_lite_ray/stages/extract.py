@@ -41,6 +41,7 @@ DOC_SCHEMA = pa.schema(
         ("title", pa.string()),
         ("snippet", pa.string()),
         ("lang", pa.string()),
+        ("pod", pa.string()),
         ("text", pa.string()),
     ]
 )
@@ -69,6 +70,8 @@ class ExtractStage:
         self.languages = tuple(installed_languages)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..index.pods import pod_of_url
+
         urls = batch["url"].to_pylist()
         htmls = batch["html"].to_pylist()
         ts = batch["warc_ts"].to_pylist()
@@ -91,6 +94,7 @@ class ExtractStage:
                 pa.array(titles, pa.string()),
                 pa.array(snippets, pa.string()),
                 pa.array(langs, pa.string()),
+                pa.array([pod_of_url(u) for u in keep_url], pa.string()),
                 pa.array(texts, pa.string()),
             ],
             schema=DOC_SCHEMA,
@@ -131,6 +135,11 @@ class PassthroughExtract:
         langs = (
             batch["lang"].to_pylist() if "lang" in cols else ["en"] * len(texts)
         )
+        # pods: explicit column > constant default (the reference's default
+        # keyword pod is 'home', utils.py:44)
+        pods = (
+            batch["pod"].to_pylist() if "pod" in cols else ["home"] * len(texts)
+        )
         out = pa.Table.from_arrays(
             [
                 pa.array(ids, pa.int64()),
@@ -139,6 +148,7 @@ class PassthroughExtract:
                 pa.array(titles, pa.string()),
                 pa.array([t[: self.snippet_chars] for t in texts], pa.string()),
                 pa.array(langs, pa.string()),
+                pa.array(pods, pa.string()),
                 pa.array(texts, pa.string()),
             ],
             schema=DOC_SCHEMA,
