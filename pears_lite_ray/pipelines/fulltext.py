@@ -233,8 +233,64 @@ QUALIFY row_number() OVER (
     )
 
 
+def q_pears_search(sf_dir: str):
+    """Reference fusion scoring ('pears' mode: positional phrase +
+    completeness + snippet overlap, score_pages.py:96-114) over the
+    documents index. Rows-only driver check — the fusion is conformance-
+    tested against its transcription oracle in tests instead."""
+    from ..query.engine import QueryEngine
+
+    idx = docs_index_dir(sf_dir)
+    eng = QueryEngine(idx, mode="pears")
+    qids, ranks, dids, scores = [], [], [], []
+    for qid, q in BM25_QUERIES:
+        d, s = eng.search_scores(q, k=BM25_TOP_K)
+        qids.extend([qid] * d.size)
+        ranks.extend(range(d.size))
+        dids.extend(d.tolist())
+        scores.extend(np.round(s, 6).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int32()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(dids, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+
+
+def q_batch_search(sf_dir: str):
+    """Dataset-scale query evaluation: a query TABLE through the
+    BatchQueryStage actor pool (one engine per actor, queries stream as
+    batches). Rows-only check; equality with per-query engine calls is
+    asserted in tests."""
+    import ray.data as rd
+
+    from ..query.engine import BatchQueryStage
+    from .common import pool
+
+    idx = docs_index_dir(sf_dir)
+    queries = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in BM25_QUERIES], pa.int32()),
+            "query": pa.array([q[1] for q in BM25_QUERIES], pa.string()),
+            "k": pa.array([BM25_TOP_K] * len(BM25_QUERIES), pa.int32()),
+        }
+    )
+    return rd.from_arrow(queries).map_batches(
+        BatchQueryStage,
+        fn_constructor_kwargs={"index_dir": idx},
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=pool(),
+        num_cpus=1,
+    )
+
+
 QUERIES = {
     "docs_table": q_docs_table,
+    "pears_search": q_pears_search,
+    "batch_search": q_batch_search,
     "term_stats": q_term_stats,
     "corpus_stats": q_corpus_stats,
     "bm25_scores": q_bm25_scores,

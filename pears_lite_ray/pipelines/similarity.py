@@ -192,9 +192,59 @@ def q_knn_lsh(sf_dir: str):
     )
 
 
+EMB_DUP_THRESHOLD = 0.3  # synthetic 64-dim embeddings: random cosines
+#                          concentrate near 0, so 0.3 marks genuine near-dups
+
+
+def q_embedding_dups(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (cos ≥ threshold, a < b).
+
+    Per-batch matmul against the broadcast normalized matrix (ray.put once,
+    read per actor) — exact at oracle scale; at 100 TB the LSH-bucketed
+    variant (q_knn_lsh's signatures) prunes candidates first and this exact
+    kernel reranks within buckets."""
+    import ray
+    import pyarrow.parquet as pq
+
+    from .common import embeddings_path
+
+    emb = pq.read_table(embeddings_path(sf_dir), columns=["vec_id", "embedding"])
+    all_ids = emb["vec_id"].to_numpy()
+    mat = np.stack([np.asarray(v, np.float64) for v in emb["embedding"].to_pylist()])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ref = ray.put((all_ids, mat))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_all, m_all = ray.get(ref)
+        ids = batch["vec_id"].to_numpy()
+        col = batch["embedding"]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        m = flat.reshape(len(batch), -1)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cos = m @ m_all.T  # (batch, all)
+        bi, aj = np.nonzero(cos >= EMB_DUP_THRESHOLD)
+        a = ids[bi]
+        b = ids_all[aj]
+        keep = a < b  # each unordered pair once, from its lower-id side
+        c = np.round(cos[bi, aj], 4)
+        return pa.table(
+            {
+                "vec_a": pa.array(a[keep], pa.int64()),
+                "vec_b": pa.array(b[keep], pa.int64()),
+                "cos": pa.array(c[keep], pa.float64()),
+            }
+        )
+
+    return read_embeddings(sf_dir, columns=["vec_id", "embedding"]).map_batches(
+        pairs, batch_format="pyarrow"
+    )
+
+
 QUERIES = {
     "knn_cosine": q_knn_cosine,
     "knn_lsh": q_knn_lsh,
+    "embedding_dups": q_embedding_dups,
 }
 
 ORACLE_SQL = {
@@ -212,4 +262,11 @@ SELECT query_id, neighbor_id, cos FROM scored
 QUALIFY row_number() OVER (
   PARTITION BY query_id ORDER BY cos DESC, neighbor_id
 ) <= {TOP_K}""",
+    "embedding_dups": f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), {ROUND_DP}) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                             b.embedding::DOUBLE[]) >= {EMB_DUP_THRESHOLD}""",
 }

@@ -149,3 +149,34 @@ def test_langid_and_fingerprint_shapes(ray_session, planted_docs_dir):
     fp = q_fingerprint(planted_docs_dir).to_pandas().set_index("doc_id")
     assert (fp.loc[0] == fp.loc[1]).all()    # identical docs → same digest
     assert fp.loc[0, "fp_digest"] != fp.loc[10, "fp_digest"]
+
+
+def test_batch_query_stage_matches_engine(ray_session, planted_docs_dir):
+    """Dataset-scale query evaluation == per-query engine calls."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pears_lite_ray.pipelines.fulltext import docs_index_dir
+    from pears_lite_ray.query.engine import BatchQueryStage, QueryEngine
+
+    idx = docs_index_dir(planted_docs_dir)
+    eng = QueryEngine(idx)
+    queries = pa.table(
+        {
+            "query_id": pa.array([0, 1, 2], pa.int32()),
+            "query": pa.array(["alpha bravo", "zulu", "echo foxtrot golf"], pa.string()),
+            "k": pa.array([5, 5, 5], pa.int32()),
+        }
+    )
+    got = (
+        rd.from_arrow(queries)
+        .map_batches(BatchQueryStage, fn_constructor_kwargs={"index_dir": idx},
+                     batch_format="pyarrow", batch_size=2, concurrency=2, num_cpus=1)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+    )
+    for qid, q in [(0, "alpha bravo"), (1, "zulu"), (2, "echo foxtrot golf")]:
+        d, s = eng.search_scores(q, 5)
+        sub = got[got.query_id == qid]
+        assert sub["doc_id"].tolist() == d.tolist(), q
+        assert np.allclose(sub["score"].to_numpy(), s, atol=0), q
