@@ -39,7 +39,7 @@ from ..stages.fused import FusedExtractTokenize
 from ..stages.postings import ConcatSubSegments, MergeTermGroup, explode_partials
 from ..state.manifest import BuildManifest
 
-META_COLS = ["doc_id", "url", "warc_ts", "title", "snippet", "lang", "pod", "doclen"]
+META_COLS = ["doc_id", "url", "warc_ts", "title", "snippet", "lang", "pod", "doctype", "doclen"]
 POSTING_COLS = ["doc_id", "doclen", "term_ids", "positions"]
 
 

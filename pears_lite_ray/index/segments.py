@@ -97,7 +97,7 @@ class SegmentStore:
         return out
 
 
-META_COLS = ["doc_id", "url", "warc_ts", "title", "snippet", "lang", "pod", "doclen"]
+META_COLS = ["doc_id", "url", "warc_ts", "title", "snippet", "lang", "pod", "doctype", "doclen"]
 
 
 class DocStore:

@@ -33,6 +33,7 @@ RESULT_SCHEMA = pa.schema(
         ("url", pa.string()),
         ("title", pa.string()),
         ("snippet", pa.string()),
+        ("doctype", pa.string()),
     ]
 )
 
@@ -154,11 +155,24 @@ class QueryEngine:
 
     # -- full search with metadata join (J1) --------------------------------
     def search(self, query: str, k: int = DEFAULT_TOP_K, **kw) -> pa.Table:
+        """Top-k + metadata join. A DSL doctype (``!word`` / ``?word`` /
+        ``/``, M12) filters the RESULT rows, as the reference's ``output``
+        does post-scoring (score_pages.py:197,213)."""
+        parsed = parse_query(query, default_lang=self.stats.languages[0])
         doc_ids, scores = self.search_scores(query, k, **kw)
         if doc_ids.size == 0:
             return RESULT_SCHEMA.empty_table()
         meta = self.docs.lookup(doc_ids)
         lut = {int(r["doc_id"]): r for r in meta.to_pylist()}
+        if parsed.doctype is not None:
+            keep = np.array(
+                [lut.get(int(d), {}).get("doctype") == parsed.doctype
+                 for d in doc_ids],
+                dtype=bool,
+            )
+            doc_ids, scores = doc_ids[keep], scores[keep]
+            if doc_ids.size == 0:
+                return RESULT_SCHEMA.empty_table()
         rows = {
             "rank": np.arange(doc_ids.size, dtype=np.int32),
             "doc_id": doc_ids,
@@ -166,6 +180,7 @@ class QueryEngine:
             "url": [lut.get(int(d), {}).get("url", "") for d in doc_ids],
             "title": [lut.get(int(d), {}).get("title", "") for d in doc_ids],
             "snippet": [lut.get(int(d), {}).get("snippet", "") for d in doc_ids],
+            "doctype": [lut.get(int(d), {}).get("doctype", "") for d in doc_ids],
         }
         return pa.table(rows, schema=RESULT_SCHEMA)
 

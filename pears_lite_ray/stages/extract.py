@@ -42,6 +42,7 @@ DOC_SCHEMA = pa.schema(
         ("snippet", pa.string()),
         ("lang", pa.string()),
         ("pod", pa.string()),
+        ("doctype", pa.string()),
         ("text", pa.string()),
     ]
 )
@@ -95,6 +96,8 @@ class ExtractStage:
                 pa.array(snippets, pa.string()),
                 pa.array(langs, pa.string()),
                 pa.array([pod_of_url(u) for u in keep_url], pa.string()),
+                # crawled pages are doctype 'url' (mk_page_vector.py:59)
+                pa.array(["url"] * len(keep_url), pa.string()),
                 pa.array(texts, pa.string()),
             ],
             schema=DOC_SCHEMA,
@@ -140,6 +143,12 @@ class PassthroughExtract:
         pods = (
             batch["pod"].to_pylist() if "pod" in cols else ["home"] * len(texts)
         )
+        # local-doc default doctype is 'doc' (controllers.py:63-65); the CSV
+        # source ships its own 'csv' column
+        doctypes = (
+            batch["doctype"].to_pylist() if "doctype" in cols
+            else ["doc"] * len(texts)
+        )
         out = pa.Table.from_arrays(
             [
                 pa.array(ids, pa.int64()),
@@ -149,6 +158,7 @@ class PassthroughExtract:
                 pa.array([t[: self.snippet_chars] for t in texts], pa.string()),
                 pa.array(langs, pa.string()),
                 pa.array(pods, pa.string()),
+                pa.array(doctypes, pa.string()),
                 pa.array(texts, pa.string()),
             ],
             schema=DOC_SCHEMA,
