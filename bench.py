@@ -110,27 +110,29 @@ def _burn(_):
 
     t0 = _t.perf_counter()
     x = 0
-    for i in range(10_000_000):
+    for i in range(30_000_000):
         x += i * i
     return _t.perf_counter() - t0
 
 
 def _hardware_ceiling() -> float:
-    """This machine's own 8→32-process scaling for a pure-CPU loop.
-
-    On the sandbox VM (virtualized cores, host contention) this measures
-    ~0.72 — no distributed software can exceed it between
-    ``ray.init(num_cpus=8)`` and ``num_cpus=32`` on the same box. Reported
-    alongside the engine's efficiency so the number is interpretable."""
+    """This machine's own 8→32-process scaling for a pure-CPU loop —
+    median of 3 (instantaneous host contention on the virtualized cores
+    makes single samples swing 0.5-1.0; the builds themselves average over
+    minutes and sit near ~0.7). No distributed software can exceed this
+    between ``ray.init(num_cpus=8)`` and ``num_cpus=32`` on one box."""
     import multiprocessing as mp
 
-    rates = {}
-    for n in (8, 32):
-        with mp.Pool(n) as p:
-            t0 = time.perf_counter()
-            p.map(_burn, range(n * 2))
-            rates[n] = (n * 2) / (time.perf_counter() - t0)
-    return round((rates[32] / rates[8]) / 4, 3)
+    effs = []
+    for _ in range(3):
+        rates = {}
+        for n in (8, 32):
+            with mp.Pool(n) as p:
+                t0 = time.perf_counter()
+                p.map(_burn, range(n * 2))
+                rates[n] = (n * 2) / (time.perf_counter() - t0)
+        effs.append((rates[32] / rates[8]) / 4)
+    return round(sorted(effs)[1], 3)
 
 
 def main() -> None:
