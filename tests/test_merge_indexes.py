@@ -1,0 +1,73 @@
+"""S7 index union: two independently-built indexes merged == one index
+built over the concatenated corpus (rank + score identical)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pears_lite_ray.config import BuildConfig
+from pears_lite_ray.sources.fixtures import generate_queries, write_corpus
+
+
+def test_union_equals_joint_build(ray_session, tmp_path_factory):
+    from pears_lite_ray.index.build import build_index
+    from pears_lite_ray.index.merge import merge_indexes
+    from pears_lite_ray.query.engine import QueryEngine
+
+    # two disjoint corpora (different seeds → different urls/doc_ids)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ca = str(tmp_path_factory.mktemp("corpus_a"))
+    cb = str(tmp_path_factory.mktemp("corpus_b"))
+    pa_paths = write_corpus(ca, 120, n_files=2, seed=101)
+    pb_paths = write_corpus(cb, 120, n_files=2, seed=202)
+    # fixture urls depend only on the row index → remap corpus B onto its
+    # own host space so the two corpora are genuinely disjoint
+    for p in pb_paths:
+        t = pq.read_table(p)
+        urls = [u.replace("https://site", "https://bsite") for u in t["url"].to_pylist()]
+        pq.write_table(t.set_column(0, "url", pa.array(urls, pa.string())), p)
+
+    ia = str(tmp_path_factory.mktemp("idx_a"))
+    ib = str(tmp_path_factory.mktemp("idx_b"))
+    ij = str(tmp_path_factory.mktemp("idx_joint"))
+    im = str(tmp_path_factory.mktemp("idx_merged"))
+    build_index(pa_paths, BuildConfig(out_dir=ia))
+    build_index(pb_paths, BuildConfig(out_dir=ib))
+    build_index(pa_paths + pb_paths, BuildConfig(out_dir=ij))
+
+    stats = merge_indexes(ia, ib, im)
+    joint = QueryEngine(ij)
+    merged = QueryEngine(im)
+    assert stats["n_docs"] == joint.stats.n_docs
+    assert stats["avgdl"] == pytest.approx(joint.stats.avgdl)
+
+    queries = generate_queries()
+    for q, k in zip(queries["query"].to_pylist(), queries["k"].to_pylist()):
+        for wand in (False, True):
+            dm, sm = merged.search_scores(q, int(k), use_wand=wand)
+            dj, sj = joint.search_scores(q, int(k), use_wand=wand)
+            assert dm.tolist() == dj.tolist(), (q, wand)
+            assert np.allclose(sm, sj, atol=1e-12), (q, wand)
+
+    # metadata lookups work against the unioned staging
+    d, _ = merged.search_scores("village", 5)
+    if d.size:
+        meta = merged.docs.lookup(d)
+        assert meta.num_rows == d.size
+
+
+def test_union_rejects_mixed_tokenizers(ray_session, tmp_path_factory):
+    from pears_lite_ray.index.build import build_index
+    from pears_lite_ray.index.merge import merge_indexes
+
+    c = str(tmp_path_factory.mktemp("corpus_c"))
+    paths = write_corpus(c, 40, n_files=1, seed=7)
+    i1 = str(tmp_path_factory.mktemp("idx_spm"))
+    i2 = str(tmp_path_factory.mktemp("idx_rgx"))
+    build_index(paths, BuildConfig(out_dir=i1))
+    build_index(paths, BuildConfig(out_dir=i2, tokenizer="regex", vocab_path=None))
+    with pytest.raises(ValueError, match="tokenizers"):
+        merge_indexes(i1, i2, str(tmp_path_factory.mktemp("idx_bad")))
