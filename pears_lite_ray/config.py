@@ -11,9 +11,13 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass, field
 
-# Reference SPM vocab (plain text, piece\tlogprob). Read-only; a committed
-# mini-vocab under resources/ keeps unit tests independent of /root/reference.
-REFERENCE_VOCAB = "/root/reference/app/api/models/en/enwiki.lite.16k.vocab"
+# SPM vocab (plain text, piece\tlogprob): the full 16k unigram vocab is
+# vendored under resources/ so deployments never depend on an external
+# mount (transcribed from the reference's public vocab file,
+# app/api/models/en/enwiki.lite.16k.vocab).
+REFERENCE_VOCAB = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "resources", "enwiki.lite.16k.vocab"
+)
 
 # BM25 (north_rule)
 BM25_K1 = 1.2

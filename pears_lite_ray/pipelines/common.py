@@ -71,6 +71,121 @@ def tokens_per_row(batch: pa.Table) -> tuple[list[list[str]], np.ndarray]:
     return toks, counts
 
 
+# -- vectorized FNV-1a ------------------------------------------------------
+# One batched kernel replaces the per-byte Python loops that fed the
+# jaccard/minhash/simhash/fingerprint pipelines: all strings of a batch are
+# laid into one uint8 buffer and hashed column-wise (iterations = max string
+# length, each a numpy op over every string at once).
+
+FNV_BASIS = np.uint64(0xCBF29CE484222325)
+FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def fnv1a_slices(buf: np.ndarray, starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """FNV-1a of ``buf[starts[i] : starts[i]+lengths[i]]`` for every i,
+    vectorized column-wise (uint64 wrap-around multiply)."""
+    h = np.full(starts.size, FNV_BASIS, dtype=np.uint64)
+    if starts.size == 0:
+        return h
+    maxlen = int(lengths.max()) if lengths.size else 0
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            m = lengths > j
+            b = buf[starts[m] + j].astype(np.uint64)
+            h[m] = (h[m] ^ b) * FNV_PRIME
+    return h
+
+
+def shingle_stream(
+    toks: list[list[str]], n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sequence-ordered FNV-1a hashes of ``n``-word shingles for every row
+    of a batch → (row_idx int64, hashes uint64).
+
+    Hash input per shingle is ``w_i + ' ' + ... + w_{i+n-1} + ' '`` (every
+    word followed by one space), byte-identical to hashing each word then a
+    0x20 separator.
+    """
+    chunks: list[bytes] = []
+    starts_l: list[np.ndarray] = []
+    lens_l: list[np.ndarray] = []
+    rows_l: list[np.ndarray] = []
+    base = 0
+    for r, words in enumerate(toks):
+        k = len(words)
+        if k >= n:
+            joined = (" ".join(words) + " ").encode()
+            chunks.append(joined)
+            off = np.zeros(k + 1, dtype=np.int64)
+            np.cumsum(
+                np.fromiter((len(w) + 1 for w in words), dtype=np.int64, count=k),
+                out=off[1:],
+            )
+            s = base + off[: k - n + 1]
+            starts_l.append(s)
+            lens_l.append(off[n:] - off[: k - n + 1])
+            rows_l.append(np.full(k - n + 1, r, dtype=np.int64))
+            base += len(joined)
+    if not chunks:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    buf = np.frombuffer(b"".join(chunks), dtype=np.uint8)
+    starts = np.concatenate(starts_l)
+    lengths = np.concatenate(lens_l)
+    rows = np.concatenate(rows_l)
+    return rows, fnv1a_slices(buf, starts, lengths)
+
+
+def distinct_per_row(
+    rows: np.ndarray, values: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Deduplicate (row, value) pairs → (row_idx, distinct values sorted
+    within row, multiplicity of each kept pair). Vectorized across the batch."""
+    if rows.size == 0:
+        return rows, values, np.empty(0, np.int64)
+    order = np.lexsort((values, rows))
+    r, v = rows[order], values[order]
+    first = np.ones(r.size, dtype=bool)
+    first[1:] = (r[1:] != r[:-1]) | (v[1:] != v[:-1])
+    idx = np.nonzero(first)[0]
+    counts = np.diff(np.r_[idx, r.size])
+    return r[first], v[first], counts
+
+
+def word_hash_stream(toks: list[list[str]]) -> tuple[np.ndarray, np.ndarray]:
+    """FNV-1a hash of every word (no separator byte) for every row of a
+    batch → (row_idx int64, hashes uint64)."""
+    chunks: list[bytes] = []
+    lens_l: list[np.ndarray] = []
+    rows_l: list[np.ndarray] = []
+    for r, words in enumerate(toks):
+        if not words:
+            continue
+        chunks.append("".join(words).encode())
+        lens_l.append(
+            np.fromiter((len(w) for w in words), dtype=np.int64, count=len(words))
+        )
+        rows_l.append(np.full(len(words), r, dtype=np.int64))
+    if not chunks:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    buf = np.frombuffer(b"".join(chunks), dtype=np.uint8)
+    lengths = np.concatenate(lens_l)
+    starts = np.r_[0, np.cumsum(lengths)[:-1]]
+    rows = np.concatenate(rows_l)
+    return rows, fnv1a_slices(buf, starts, lengths)
+
+
+# DuckDB replica of fnv1a over a string's bytes (used by the simhash /
+# fingerprint oracles): fold FNV-1a with list_reduce over ord() bytes,
+# 64-bit wrap via HUGEINT multiply mod 2^64.
+def sql_fnv1a(expr: str) -> str:
+    return (
+        "list_reduce(list_prepend(14695981039346656037::UBIGINT, "
+        f"list_transform(range(1, length({expr})+1), i -> ord(substr({expr}, i, 1))::UBIGINT)), "
+        "(acc, b) -> ((xor(acc::UBIGINT, b)::HUGEINT * 1099511628211) "
+        "% 18446744073709551616)::UBIGINT)"
+    )
+
+
 def round6(x: np.ndarray) -> np.ndarray:
     """Round half AWAY from zero at 6dp — DuckDB's round() semantics.
 

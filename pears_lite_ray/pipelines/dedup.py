@@ -1,28 +1,50 @@
 """Deduplication operators over the ``documents`` table.
 
-Large-scale-training-pipeline staples, each in its scalable Ray Data shape:
+Large-scale-training-pipeline staples, each in its scalable Ray Data shape
+— no driver-side materialization anywhere in these pipelines (round-2 fix):
 
 * exact      — hash-partition on md5(text), per-group canonical winner
-               (min doc_id). SQL-oracle-checked.
+               (min doc_id), attached back with a same-key equi-join
+               (``Dataset.join`` on text_md5). SQL-oracle-checked.
 * shingles   — 3-word-shingle inverted index → co-occurring pairs →
-               exact Jaccard per pair. SQL-oracle-checked (self-join on
-               shingle). At 100 TB the same plan holds with a
-               hot-shingle cap (a shingle shared by >P docs contributes
-               O(P²) pairs; cap documented below).
+               exact Jaccard per pair. The shuffle ships 8-byte FNV-1a
+               shingle hashes (not strings), and each doc's distinct-set
+               size rides along with the exploded rows, so the final
+               Jaccard is computed from the pair aggregate alone (zero
+               joins, zero driver state). SQL-oracle-checked (the oracle
+               self-joins on shingle strings; 64-bit hashes are
+               collision-free at any testable scale). At 100 TB the same
+               plan holds with a hot-shingle cap (a shingle shared by >P
+               docs contributes O(P²) pairs; cap documented below).
 * minhash    — 64-perm MinHash, banded LSH (8×8) candidate pairs,
-               verified with exact Jaccard. Deterministic (fixed odd
-               multipliers), rows-only check.
-* simhash    — 64-bit SimHash fingerprint per doc (word unigrams).
-               Deterministic, rows-only check.
+               deduplicated with a pair-key groupby and verified with
+               exact Jaccard via two equi-joins against the distributed
+               shingle-set table (sets packed as binary blobs, the join
+               key stays 8 bytes/row). Deterministic; rows-only check.
+* simhash    — 64-bit SimHash fingerprint per doc (word unigrams),
+               fully vectorized (batched FNV + np.add.at bit
+               accumulation). SQL-oracle-checked: the oracle replicates
+               FNV-1a with list_reduce over word bytes.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-from ray.data.aggregate import Min, Sum
+from ray.data.aggregate import Count, Min, Sum
 
-from .common import md5_hex, pool, read_documents, round6, tokens_per_row
+from .common import (
+    SQL_TOKENS,
+    distinct_per_row,
+    md5_hex,
+    pool,
+    read_documents,
+    round6,
+    shingle_stream,
+    sql_fnv1a,
+    tokens_per_row,
+    word_hash_stream,
+)
 
 JACCARD_NGRAM = 3
 MINHASH_PERMS = 64
@@ -30,34 +52,44 @@ MINHASH_BANDS = 8  # 8 rows per band
 # At scale: a shingle shared by more than this many docs is dropped from
 # pair generation (it only produces near-universal boilerplate pairs).
 HOT_SHINGLE_CAP = 1000
+# Partition count for the equi-joins below. Sized for the sandbox; at
+# cluster scale this is the one knob to raise (partitions ≈ cores).
+JOIN_PARTITIONS = 8
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
+def _scrub(ds, n: int = JOIN_PARTITIONS):
+    """Workaround for Ray 2.49's groupby().aggregate(): partitions that end
+    up empty are emitted as schema-less zero-column blocks, which the join
+    operator cannot hash-partition ("No match ... for key field reference").
+    map_batches can't fix it (Ray skips empty blocks in map stages), but a
+    repartition concatenates them away. Only ever applied to aggregate
+    outputs that feed a join; the moved data is the compact aggregate, not
+    the corpus."""
+    return ds.repartition(n)
+
+
 def _shingle_hashes(words: list[str], n: int = JACCARD_NGRAM) -> np.ndarray:
-    """Distinct 64-bit FNV-1a hashes of n-word shingles (sorted)."""
-    if len(words) < n:
+    """Distinct 64-bit FNV-1a hashes of n-word shingles (sorted).
+
+    Single-row convenience wrapper over the batched kernel
+    (:func:`shingle_stream`) — used by tests and the per-doc helpers."""
+    rows, hs = shingle_stream([words], n)
+    if hs.size == 0:
         return np.empty(0, dtype=np.uint64)
-    out = set()
-    for i in range(len(words) - n + 1):
-        h = np.uint64(0xCBF29CE484222325)
-        for w in words[i:i + n]:
-            for b in w.encode():
-                h = np.uint64((int(h) ^ b) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-            h = np.uint64((int(h) ^ 0x20) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-        out.add(int(h))
-    return np.array(sorted(out), dtype=np.uint64)
-
-
-def _shingle_strings(words: list[str], n: int = JACCARD_NGRAM) -> list[str]:
-    return sorted({" ".join(words[i:i + n]) for i in range(len(words) - n + 1)})
+    return np.unique(hs)
 
 
 # -- exact dedup -------------------------------------------------------------
 
 def q_exact_dedup(sf_dir: str):
     """Every doc mapped to the canonical (min doc_id) holder of its exact
-    text (J3 semantics ↔ mk_page_vector.py:37, by content not url)."""
+    text (J3 semantics ↔ mk_page_vector.py:37, by content not url).
+
+    Canonical winners come from a groupby(text_md5) aggregate; they are
+    attached back with an equi-join on the same key — both sides are
+    hash-partitioned on text_md5, so no driver state and no broadcast."""
 
     def hash_batch(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
@@ -71,27 +103,17 @@ def q_exact_dedup(sf_dir: str):
     ds = read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
         hash_batch, batch_format="pyarrow"
     )
-    canon = ds.groupby("text_md5").aggregate(Min("doc_id", alias_name="canonical_doc_id"))
-    # broadcast join: the canonical map has ≤ n_docs rows but dedup groups
-    # are tiny; at driver-test scale read it back and map — at 100 TB this
-    # becomes an equi-join on text_md5 (same key as the groupby: no second
-    # shuffle needed).
-    canon_tbl = canon.to_arrow_refs()
-    import ray
-
-    lut = {}
-    for ref in canon_tbl:
-        t = ray.get(ref)
-        for h, c in zip(t["text_md5"].to_pylist(), t["canonical_doc_id"].to_pylist()):
-            lut[h] = c
-
-    def attach(batch: pa.Table) -> pa.Table:
-        hs = batch["text_md5"].to_pylist()
-        return batch.append_column(
-            "canonical_doc_id", pa.array([lut[h] for h in hs], pa.int64())
+    canon = _scrub(
+        ds.groupby("text_md5").aggregate(
+            Min("doc_id", alias_name="canonical_doc_id")
         )
-
-    return ds.map_batches(attach, batch_format="pyarrow")
+    )
+    return ds.join(
+        canon,
+        join_type="inner",
+        num_partitions=JOIN_PARTITIONS,
+        on=("text_md5",),
+    )
 
 
 # -- n-gram Jaccard ----------------------------------------------------------
@@ -99,24 +121,24 @@ def q_exact_dedup(sf_dir: str):
 def q_jaccard_pairs(sf_dir: str):
     """All doc pairs sharing ≥1 3-word shingle, with exact Jaccard over
     distinct-shingle sets. Pair generation via the shingle inverted index
-    (groupby shingle → within-group pairs), intersection counts via a
-    second small groupby — no cross join anywhere."""
-    import ray
+    (groupby shingle-hash → within-group pairs); each exploded row carries
+    its doc's distinct-set size, so intersection counts AND set sizes come
+    out of one small pair-key aggregate — no cross join, no second pass
+    over the corpus, no driver lookup table."""
 
     def explode(batch: pa.Table) -> pa.Table:
         toks, _ = tokens_per_row(batch)
-        ids = batch["doc_id"].to_pylist()
-        out_s, out_d, sizes_id, sizes_n = [], [], [], []
-        for d, words in zip(ids, toks):
-            sh = _shingle_strings(words)
-            out_s.extend(sh)
-            out_d.extend([d] * len(sh))
-            sizes_id.append(d)
-            sizes_n.append(len(sh))
+        ids = batch["doc_id"].to_numpy()
+        rows, hs = shingle_stream(toks, JACCARD_NGRAM)
+        r, v, _ = distinct_per_row(rows, hs)
+        nsh_per_row = np.zeros(len(toks), dtype=np.int64)
+        if r.size:
+            np.add.at(nsh_per_row, r, 1)
         return pa.table(
             {
-                "shingle": pa.array(out_s, pa.string()),
-                "doc_id": pa.array(out_d, pa.int64()),
+                "shingle": pa.array(v.view(np.int64), pa.int64()),
+                "doc_id": pa.array(ids[r], pa.int64()),
+                "nsh": pa.array(nsh_per_row[r], pa.int64()),
             }
         )
 
@@ -125,17 +147,24 @@ def q_jaccard_pairs(sf_dir: str):
     )
 
     def pairs_of_group(group: pa.Table) -> pa.Table:
-        docs = np.unique(np.asarray(group["doc_id"].to_numpy(), dtype=np.int64))
+        docs = group["doc_id"].to_numpy()
+        nsh = group["nsh"].to_numpy()
+        order = np.argsort(docs)
+        docs, nsh = docs[order], nsh[order]
         if docs.size < 2 or docs.size > HOT_SHINGLE_CAP:
             return pa.table({"doc_a": pa.array([], pa.int64()),
                              "doc_b": pa.array([], pa.int64()),
-                             "c": pa.array([], pa.int64())})
+                             "c": pa.array([], pa.int64()),
+                             "na": pa.array([], pa.int64()),
+                             "nb": pa.array([], pa.int64())})
         ia, ib = np.triu_indices(docs.size, k=1)
         return pa.table(
             {
                 "doc_a": pa.array(docs[ia], pa.int64()),
                 "doc_b": pa.array(docs[ib], pa.int64()),
                 "c": pa.array(np.ones(ia.size, dtype=np.int64), pa.int64()),
+                "na": pa.array(nsh[ia], pa.int64()),
+                "nb": pa.array(nsh[ib], pa.int64()),
             }
         )
 
@@ -143,37 +172,17 @@ def q_jaccard_pairs(sf_dir: str):
         shingle_docs.groupby("shingle")
         .map_groups(pairs_of_group, batch_format="pyarrow")
         .groupby(["doc_a", "doc_b"])
-        .aggregate(Sum("c", alias_name="inter"))
+        .aggregate(
+            Sum("c", alias_name="inter"),
+            Min("na", alias_name="na"),
+            Min("nb", alias_name="nb"),
+        )
     )
 
-    # per-doc set sizes: small table, broadcast into the final map
-    def sizes(batch: pa.Table) -> pa.Table:
-        toks, _ = tokens_per_row(batch)
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "nsh": pa.array(
-                    [len(_shingle_strings(w)) for w in toks], pa.int64()
-                ),
-            }
-        )
-
-    size_lut = {}
-    for ref in read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
-        sizes, batch_format="pyarrow"
-    ).to_arrow_refs():
-        t = ray.get(ref)
-        for d, n in zip(t["doc_id"].to_pylist(), t["nsh"].to_pylist()):
-            size_lut[d] = n
-    lut_ref = ray.put(size_lut)
-
     def jaccard(batch: pa.Table) -> pa.Table:
-        lut = ray.get(lut_ref)
-        a = batch["doc_a"].to_numpy()
-        b = batch["doc_b"].to_numpy()
         inter_n = batch["inter"].to_numpy().astype(np.float64)
-        sa = np.array([lut[int(x)] for x in a], dtype=np.float64)
-        sb = np.array([lut[int(x)] for x in b], dtype=np.float64)
+        sa = batch["na"].to_numpy().astype(np.float64)
+        sb = batch["nb"].to_numpy().astype(np.float64)
         jac = round6(inter_n / (sa + sb - inter_n))
         return pa.table(
             {
@@ -190,7 +199,7 @@ def q_jaccard_pairs(sf_dir: str):
 # -- MinHash + LSH -----------------------------------------------------------
 
 def _minhash_matrix(shingles: np.ndarray) -> np.ndarray:
-    """64 min-hashes of a doc's shingle-hash set (universal hashing mod
+    """64 min-hashes of one doc's shingle-hash set (universal hashing mod
     2^61-1 with fixed odd multipliers — deterministic everywhere)."""
     if shingles.size == 0:
         return np.full(MINHASH_PERMS, np.iinfo(np.int64).max, dtype=np.int64)
@@ -198,58 +207,98 @@ def _minhash_matrix(shingles: np.ndarray) -> np.ndarray:
     a = rng.randint(1, (1 << 61) - 1, size=MINHASH_PERMS).astype(np.uint64) | np.uint64(1)
     b = rng.randint(0, (1 << 61) - 1, size=MINHASH_PERMS).astype(np.uint64)
     x = shingles.astype(np.uint64) % _MERSENNE
-    # (a*x + b) mod p, vectorized over (perm, shingle)
     prod = (a[:, None] * x[None, :] + b[:, None]) % _MERSENNE
     return prod.min(axis=1).astype(np.int64)
 
 
 class MinHashStage:
     """Actor-pool stage: text → 64 minhashes + band keys (state = the fixed
-    permutation coefficients, built once per actor)."""
+    permutation coefficients, built once per actor). Fully batched: one
+    (perms × shingles) hash matrix per batch, segmented min per doc
+    (np.minimum.reduceat), vectorized FNV fold for band keys."""
 
     def __init__(self):
         rng = np.random.RandomState(1234)
         self.a = rng.randint(1, (1 << 61) - 1, size=MINHASH_PERMS).astype(np.uint64) | np.uint64(1)
         self.b = rng.randint(0, (1 << 61) - 1, size=MINHASH_PERMS).astype(np.uint64)
 
-    def minhash(self, shingles: np.ndarray) -> np.ndarray:
-        if shingles.size == 0:
-            return np.full(MINHASH_PERMS, np.iinfo(np.int64).max, dtype=np.int64)
-        x = shingles.astype(np.uint64) % _MERSENNE
+    def signatures(self, toks: list[list[str]]) -> np.ndarray:
+        """(n_rows, MINHASH_PERMS) int64 signature matrix for a batch."""
+        n_rows = len(toks)
+        sigs = np.full((n_rows, MINHASH_PERMS), np.iinfo(np.int64).max,
+                       dtype=np.int64)
+        rows, hs = shingle_stream(toks, JACCARD_NGRAM)
+        r, v, _ = distinct_per_row(rows, hs)
+        if r.size == 0:
+            return sigs
+        x = v.astype(np.uint64) % _MERSENNE
         prod = (self.a[:, None] * x[None, :] + self.b[:, None]) % _MERSENNE
-        return prod.min(axis=1).astype(np.int64)
+        # segment boundaries of each doc's shingle run (r is row-sorted)
+        starts = np.r_[0, np.nonzero(r[1:] != r[:-1])[0] + 1]
+        mins = np.minimum.reduceat(prod, starts, axis=1)  # (perms, docs)
+        sigs[r[starts]] = mins.T.astype(np.int64)
+        return sigs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        toks, _ = tokens_per_row(batch)
-        ids = batch["doc_id"].to_pylist()
-        import hashlib
+        from .common import FNV_BASIS, FNV_PRIME
 
-        rows_doc, rows_band, rows_key = [], [], []
+        toks, _ = tokens_per_row(batch)
+        ids = batch["doc_id"].to_numpy()
+        sigs = self.signatures(toks).astype(np.uint64)  # (n, perms)
         rpb = MINHASH_PERMS // MINHASH_BANDS
-        for d, words in zip(ids, toks):
-            mh = self.minhash(_shingle_hashes(words))
-            for band in range(MINHASH_BANDS):
-                seg = np.ascontiguousarray(mh[band * rpb:(band + 1) * rpb])
-                key = int.from_bytes(
-                    hashlib.blake2b(seg.tobytes(), digest_size=8).digest(), "big"
-                )
-                rows_doc.append(d)
-                rows_band.append(band)
-                rows_key.append(key & ((1 << 63) - 1))
+        n = ids.size
+        doc_col = np.repeat(ids, MINHASH_BANDS)
+        band_col = np.tile(np.arange(MINHASH_BANDS, dtype=np.int32), n)
+        # band key: FNV-style fold over the band's rpb signature values
+        # (vectorized over (n, bands); replaces the per-doc blake2b calls)
+        keys = np.full((n, MINHASH_BANDS), FNV_BASIS, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(rpb):
+                col = sigs[:, j::rpb]  # (n, bands): value j of each band
+                keys = (keys ^ col) * FNV_PRIME
+        keys &= np.uint64((1 << 63) - 1)
         return pa.table(
             {
-                "doc_id": pa.array(rows_doc, pa.int64()),
-                "band": pa.array(rows_band, pa.int32()),
-                "band_key": pa.array(rows_key, pa.int64()),
+                "doc_id": pa.array(doc_col, pa.int64()),
+                "band": pa.array(band_col, pa.int32()),
+                "band_key": pa.array(keys.reshape(-1).astype(np.int64), pa.int64()),
             }
         )
 
 
+def _shingle_set_table(sf_dir: str):
+    """(doc_id, shingle-set) dataset; sets packed as binary blobs (sorted
+    distinct uint64 hashes, tobytes) so the equi-join below stays within
+    pyarrow's supported join payload types."""
+
+    def pack(batch: pa.Table) -> pa.Table:
+        toks, _ = tokens_per_row(batch)
+        ids = batch["doc_id"].to_numpy()
+        rows, hs = shingle_stream(toks, JACCARD_NGRAM)
+        r, v, _ = distinct_per_row(rows, hs)
+        counts = np.zeros(len(toks), dtype=np.int64)
+        if r.size:
+            np.add.at(counts, r, 1)
+        offs = np.r_[0, np.cumsum(counts)]
+        blobs = [v[offs[i]:offs[i + 1]].tobytes() for i in range(len(toks))]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "shset": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        pack, batch_format="pyarrow"
+    )
+
+
 def q_minhash_lsh(sf_dir: str):
     """LSH candidate pairs (same band signature in any band), verified with
-    exact shingle Jaccard. Rows-only driver check (hash permutations are
-    not SQL-expressible)."""
-    import ray
+    exact shingle Jaccard — all stages distributed: bucket groupby →
+    pair-key groupby (cross-band dedup) → two equi-joins against the
+    shingle-set table → per-row exact Jaccard. Rows-only driver check
+    (hash permutations are not SQL-expressible)."""
 
     bands = read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
         MinHashStage, batch_format="pyarrow", concurrency=pool(), num_cpus=1
@@ -268,82 +317,76 @@ def q_minhash_lsh(sf_dir: str):
             }
         )
 
-    raw = bands.groupby(["band", "band_key"]).map_groups(
-        pairs_of_bucket, batch_format="pyarrow"
-    )
-    parts = [t for t in (ray.get(r) for r in raw.to_arrow_refs()) if t.num_rows]
-    if not parts:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    allp = pa.concat_tables(parts)
-    # distinct pairs (a doc pair can collide in several bands)
-    import pandas as pd  # noqa: F401
-
-    cand_tbl = pa.Table.from_pandas(
-        allp.to_pandas().drop_duplicates(["doc_a", "doc_b"]).sort_values(
-            ["doc_a", "doc_b"]
-        )[["doc_a", "doc_b"]],
-        preserve_index=False,
+    cand = _scrub(
+        bands.groupby(["band", "band_key"])
+        .map_groups(pairs_of_bucket, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="nbands"))
+        .drop_columns(["nbands"])
     )
 
-    # verify candidates with exact Jaccard (shingle sets pulled for the
-    # candidate docs only — a tiny broadcast set)
-    need = set(cand_tbl["doc_a"].to_pylist()) | set(cand_tbl["doc_b"].to_pylist())
-    sets: dict[int, np.ndarray] = {}
-    if need:
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
+    sets = _shingle_set_table(sf_dir)
+    joined = cand.join(
+        sets, join_type="inner", num_partitions=JOIN_PARTITIONS,
+        on=("doc_a",), right_on=("doc_id",),
+    ).rename_columns({"shset": "shset_a"}).join(
+        sets, join_type="inner", num_partitions=JOIN_PARTITIONS,
+        on=("doc_b",), right_on=("doc_id",),
+    ).rename_columns({"shset": "shset_b"})
 
-        from .common import documents_path, tokenize_words
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy()
+        b = batch["doc_b"].to_numpy()
+        sa = batch["shset_a"].to_pylist()
+        sb = batch["shset_b"].to_pylist()
+        jac = np.zeros(a.size, dtype=np.float64)
+        for i in range(a.size):
+            ha = np.frombuffer(sa[i], dtype=np.uint64)
+            hb = np.frombuffer(sb[i], dtype=np.uint64)
+            inter = ha[np.isin(ha, hb, assume_unique=True)].size
+            union = ha.size + hb.size - inter
+            jac[i] = (inter / union) if union else 0.0
+        order = np.lexsort((b, a))
+        return pa.table(
+            {
+                "doc_a": pa.array(a[order], pa.int64()),
+                "doc_b": pa.array(b[order], pa.int64()),
+                "jaccard": pa.array(round6(jac[order]), pa.float64()),
+            }
+        )
 
-        t = pq.read_table(documents_path(sf_dir), columns=["doc_id", "text"])
-        t = t.filter(pc.is_in(t["doc_id"], value_set=pa.array(sorted(need))))
-        for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            sets[d] = _shingle_hashes(tokenize_words(txt))
-    a_out, b_out, j_out = [], [], []
-    for a_, b_ in zip(cand_tbl["doc_a"].to_pylist(), cand_tbl["doc_b"].to_pylist()):
-        sa, sb = sets[a_], sets[b_]
-        inter = np.intersect1d(sa, sb).size
-        union = sa.size + sb.size - inter
-        a_out.append(a_)
-        b_out.append(b_)
-        j_out.append(float(round6(inter / union)) if union else 0.0)
-    return pa.table(
-        {
-            "doc_a": pa.array(a_out, pa.int64()),
-            "doc_b": pa.array(b_out, pa.int64()),
-            "jaccard": pa.array(j_out, pa.float64()),
-        }
-    )
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 # -- SimHash -----------------------------------------------------------------
 
 def q_simhash(sf_dir: str):
-    """64-bit SimHash per doc over word unigram FNV hashes (weighted by tf).
-    Deterministic; rows-only driver check."""
+    """64-bit SimHash per doc over word unigram FNV hashes (weighted by tf),
+    batched: one FNV pass over every word in the batch, per-(doc, distinct
+    word) tf from the dedup kernel, bit accumulation via np.add.at.
+    SQL-oracle-checked (the oracle folds the same FNV-1a with list_reduce)."""
 
     def sim(batch: pa.Table) -> pa.Table:
         toks, _ = tokens_per_row(batch)
-        out = []
-        for words in toks:
-            acc = np.zeros(64, dtype=np.int64)
-            tf: dict[str, int] = {}
-            for w in words:
-                tf[w] = tf.get(w, 0) + 1
-            for w, c in tf.items():
-                h = np.uint64(0xCBF29CE484222325)
-                for bch in w.encode():
-                    h = np.uint64((int(h) ^ bch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits == 1, c, -c)
-            fp = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
-            out.append(fp & ((1 << 63) - 1))
+        n_rows = len(toks)
+        rows, hs = word_hash_stream(toks)
+        r, v, tf = distinct_per_row(rows, hs)
+        acc = np.zeros((n_rows, 64), dtype=np.int64)
+        if r.size:
+            bits = (
+                (v[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)
+            ).astype(bool)
+            contrib = np.where(bits, tf[:, None], -tf[:, None])
+            np.add.at(acc, r, contrib)
+        fp = (
+            (acc > 0).astype(np.uint64)
+            << np.arange(64, dtype=np.uint64)[None, :]
+        ).sum(axis=1) & np.uint64((1 << 63) - 1)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "simhash": pa.array(out, pa.int64()),
+                "simhash": pa.array(fp.astype(np.int64), pa.int64()),
             }
         )
 
@@ -359,7 +402,7 @@ QUERIES = {
     "simhash": q_simhash,
 }
 
-from .common import SQL_TOKENS  # noqa: E402
+_FNV_WORD = sql_fnv1a("w")
 
 ORACLE_SQL = {
     "exact_dedup": """
@@ -383,4 +426,32 @@ SELECT p.doc_a, p.doc_b, p.inter,
 FROM pairs p
 JOIN sizes sa ON sa.doc_id = p.doc_a
 JOIN sizes sb ON sb.doc_id = p.doc_b""",
+    # SimHash replicated in SQL: FNV-1a per distinct word (list_reduce over
+    # ord() bytes), tf-weighted bit votes, bit-majority fingerprint with the
+    # sign bit masked off (bits 0..62 only, matching the engine's
+    # & ((1<<63)-1)).
+    "simhash": f"""
+WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
+words AS (
+  SELECT doc_id, w, count(*) AS tf
+  FROM toks, UNNEST(t) AS u(w)
+  GROUP BY doc_id, w
+),
+hashed AS (
+  SELECT doc_id, {_FNV_WORD} AS h, tf FROM words
+),
+votes AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (h >> j) & 1 = 1 THEN tf ELSE -tf END) AS acc
+  FROM hashed, UNNEST(range(0, 63)) AS bits(j)
+  GROUP BY doc_id, j
+),
+fps AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0 THEN (1::HUGEINT << j::INT) ELSE 0 END)::BIGINT
+           AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(f.simhash, 0)::BIGINT AS simhash
+FROM documents d LEFT JOIN fps f ON f.doc_id = d.doc_id""",
 }

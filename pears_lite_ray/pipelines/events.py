@@ -132,8 +132,8 @@ per_session AS (
   SELECT user_id, session_id, count(*) AS len FROM sess GROUP BY 1, 2
 )
 SELECT user_id,
-       sum(len) AS n_events,
-       count(*) AS n_sessions,
-       max(len) AS max_session_events
+       sum(len)::BIGINT AS n_events,
+       count(*)::BIGINT AS n_sessions,
+       max(len)::BIGINT AS max_session_events
 FROM per_session GROUP BY user_id""",
 }

@@ -61,7 +61,7 @@ def planted_docs_dir(tmp_path_factory):
 def test_exact_dedup_canonical(ray_session, planted_docs_dir):
     from pears_lite_ray.pipelines.dedup import q_exact_dedup
 
-    out = q_exact_dedup(planted_docs_dir).to_pandas().set_index("doc_id")
+    out = q_exact_dedup(planted_docs_dir).to_pandas().set_index("doc_id").sort_index()
     assert out.loc[0, "canonical_doc_id"] == 0
     assert out.loc[1, "canonical_doc_id"] == 0      # exact dup folded
     assert out.loc[2, "canonical_doc_id"] == 2      # near dup NOT folded
@@ -81,14 +81,11 @@ def test_jaccard_pairs_find_near_dups(ray_session, planted_docs_dir):
 def test_minhash_lsh_recalls_planted(ray_session, planted_docs_dir):
     from pears_lite_ray.pipelines.dedup import q_minhash_lsh
 
-    t = q_minhash_lsh(planted_docs_dir)
-    got = {(a, b) for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist())}
+    t = q_minhash_lsh(planted_docs_dir).to_pandas()
+    got = {(a, b) for a, b in zip(t["doc_a"], t["doc_b"])}
     assert (0, 1) in got
     assert (0, 2) in got
-    jac = dict(zip(
-        zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()),
-        t["jaccard"].to_pylist(),
-    ))
+    jac = dict(zip(zip(t["doc_a"], t["doc_b"]), t["jaccard"]))
     assert jac[(0, 1)] == 1.0
 
 
