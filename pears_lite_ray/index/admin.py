@@ -1,0 +1,113 @@
+"""Admin mutations on a built index: url rename (D3), pod delete /
+unsubscribe (D2), shareable pod export (W6).
+
+Reference semantics, re-expressed on the staging-parquet metadata store:
+
+* rename (app/api/controllers.py:109-127): update the url of one doc in
+  metadata; when the title equals the old url's basename it follows to the
+  new basename. The reference keeps the vector row id; here the stable
+  doc_id (hash of the ORIGINAL url) likewise never changes — a rename is a
+  pure metadata rewrite of the affected staging fragments, postings are
+  untouched.
+* pod delete (app/api/controllers.py:34-51): tombstone every doc of the
+  pod (the postings vanish from queries immediately and physically at the
+  next compaction — our D1 delete path), then drop the pod's row from the
+  pods table. The reference's "revert summary to 0 + delete row" collapses
+  to the row drop: centroids live only in the pods table.
+* export (app/orchard/mk_urls_file.py:16-25): one ``url;pod;lang`` line
+  per doc of the pod, streamed from a pod-filtered projection scan —
+  never materializes more than a batch.
+"""
+
+from __future__ import annotations
+
+import os
+from os.path import basename
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+
+def _staging_fragments(index_dir: str):
+    staging = os.path.join(index_dir, "staging")
+    ds = pads.dataset(staging, format="parquet")
+    return ds, list(ds.files)
+
+
+def rename_url(index_dir: str, src: str, target: str) -> int:
+    """Rename ``src`` → ``target`` in doc metadata; returns #rows updated.
+
+    Only staging fragments that actually hold the url are rewritten (a
+    fragment is one partition's file — the rewrite unit a 100 TB corpus
+    needs; everything else is untouched)."""
+    _, files = _staging_fragments(index_dir)
+    src_name, target_name = basename(src), basename(target)
+    updated = 0
+    for f in files:
+        t = pq.read_table(f)
+        hit = pc.equal(t["url"], src)
+        n_hit = int(pc.sum(hit).as_py() or 0)
+        if not n_hit:
+            continue
+        mask = hit.to_numpy(zero_copy_only=False)
+        urls = t["url"].to_pylist()
+        titles = t["title"].to_pylist()
+        for i in np.nonzero(mask)[0]:
+            urls[i] = target
+            # the reference follows the title only when it equals the
+            # source basename (controllers.py:118-120)
+            if titles[i] == src_name:
+                titles[i] = target_name
+        t = t.set_column(t.schema.get_field_index("url"), "url",
+                         pa.array(urls, pa.string()))
+        t = t.set_column(t.schema.get_field_index("title"), "title",
+                         pa.array(titles, pa.string()))
+        tmp = f + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, f)
+        updated += n_hit
+    return updated
+
+
+def delete_pod(index_dir: str, pod: str) -> int:
+    """Unsubscribe a pod: tombstone all its docs + drop its pods-table row.
+    Returns the number of tombstoned docs. Postings are physically removed
+    at the next ``compact`` (D1 semantics)."""
+    from .maintenance import delete_doc_ids
+
+    ds, _ = _staging_fragments(index_dir)
+    t = ds.to_table(columns=["doc_id", "pod"],
+                    filter=pc.equal(pc.field("pod"), pod))
+    victims = np.unique(t["doc_id"].to_numpy())
+    if victims.size:
+        delete_doc_ids(index_dir, victims)
+
+    pods_dir = os.path.join(index_dir, "pods")
+    if os.path.isdir(pods_dir):
+        pods_ds = pads.dataset(pods_dir, format="parquet")
+        kept = pods_ds.to_table(filter=pc.not_equal(pc.field("pod"), pod))
+        for f in list(pods_ds.files):
+            os.remove(f)
+        pq.write_table(kept, os.path.join(pods_dir, "pods.parquet"))
+    return int(victims.size)
+
+
+def export_pod(index_dir: str, pod: str, out_path: str) -> int:
+    """Shareable pod export: ``url;pod;lang`` per doc (W6). Returns #lines.
+    Streams batch-by-batch from a pod-filtered projection scan."""
+    ds, _ = _staging_fragments(index_dir)
+    n = 0
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as f_out:
+        scanner = ds.scanner(columns=["url", "pod", "lang"],
+                             filter=pc.equal(pc.field("pod"), pod))
+        for batch in scanner.to_batches():
+            for url, lang in zip(batch["url"].to_pylist(),
+                                 batch["lang"].to_pylist()):
+                f_out.write(f"{url};{pod};{lang}\n")
+                n += 1
+    os.replace(tmp, out_path)
+    return n

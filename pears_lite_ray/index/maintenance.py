@@ -82,19 +82,42 @@ def compact(index_dir: str, cfg: BuildConfig | None = None) -> dict:
     def drop_tombstoned(t: pa.Table) -> pa.Table:
         return t.filter(pc.invert(pc.is_in(t["doc_id"], value_set=tomb_arr)))
 
-    # recompute N / avgdl over surviving docs (one metadata scan)
+    # cross-partition duplicate-url winners must be re-resolved: compaction
+    # rebuilds from STAGING, which still holds loser rows the original build
+    # filtered out (build_index → _filter_winners). Without this, a
+    # compaction would resurrect loser postings and double-count their
+    # doc_ids in n/avgdl.
+    _, dup_ids, winner_ts, winner_url = B.dedup_and_stats(cfg)
+
+    # recompute N / avgdl over surviving WINNER docs (one metadata scan)
     nb = B._meta_blocks(cfg)
+    meta_cols = ["doc_id", "doclen"]
+    if dup_ids.size:
+        meta_cols.append("warc_ts")
+        if winner_url:
+            meta_cols.append("url")
     agg = (
-        B._staging_ds(cfg, ["doc_id", "doclen"], nb)
-        .map_batches(drop_tombstoned, batch_format="pyarrow")
+        B._filter_winners(
+            B._staging_ds(cfg, meta_cols, nb)
+            .map_batches(drop_tombstoned, batch_format="pyarrow"),
+            dup_ids, winner_ts, winner_url,
+        )
         .aggregate(Count(alias_name="n"), Sum("doclen", alias_name="sum_dl"))
     )
     n = int(agg["n"] or 0)
     sum_dl = int(agg["sum_dl"] or 0)
     avgdl = (sum_dl / n) if n else 0.0
 
-    post = B._staging_ds(cfg, B.POSTING_COLS).map_batches(
-        drop_tombstoned, batch_format="pyarrow"
+    post_cols = list(B.POSTING_COLS)
+    if dup_ids.size:
+        post_cols.append("warc_ts")
+        if winner_url:
+            post_cols.append("url")
+    post = B._filter_winners(
+        B._staging_ds(cfg, post_cols).map_batches(
+            drop_tombstoned, batch_format="pyarrow"
+        ),
+        dup_ids, winner_ts, winner_url,
     )
     keep_pos = bool(old_stats.get("keep_positions", True))
     salt_bits, hot_frac = cfg.salt_bits, cfg.hot_frac

@@ -25,6 +25,54 @@ from ..config import BM25_B, BM25_K1, BuildConfig
 from ..stages.postings import ConcatSubSegments
 
 
+def _merged_doc_stats(dir_a: str, dir_b: str) -> tuple[int, int]:
+    """(n_docs, total_postings) of the union, counting each distinct doc_id
+    ONCE. A doc present in both indexes keeps index A's posting rows in the
+    merge (union lists A first; the fallback merge's stable sort keeps the
+    first occurrence), so its doclen is taken from A. Distributed: one
+    groupby over the light (doc_id, doclen) columns of both stagings."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Sum
+
+    def tag(src_a: bool):
+        def f(t: pa.Table) -> pa.Table:
+            dl = t["doclen"].cast(pa.int64())
+            null = pa.nulls(len(t), pa.int64())
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "dl_a": dl if src_a else null,
+                    "dl_b": null if src_a else dl,
+                }
+            )
+        return f
+
+    ds = (
+        rd.read_parquet(os.path.join(dir_a, "staging"),
+                        columns=["doc_id", "doclen"])
+        .map_batches(tag(True), batch_format="pyarrow")
+        .union(
+            rd.read_parquet(os.path.join(dir_b, "staging"),
+                            columns=["doc_id", "doclen"])
+            .map_batches(tag(False), batch_format="pyarrow")
+        )
+        .groupby("doc_id")
+        .aggregate(Max("dl_a", alias_name="dl_a"),
+                   Max("dl_b", alias_name="dl_b"))
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        dl = pc.coalesce(t["dl_a"], t["dl_b"])
+        return pa.table({"one": pa.nulls(len(t), pa.int64()).fill_null(1),
+                         "dl": dl})
+
+    agg = ds.map_batches(pick, batch_format="pyarrow").aggregate(
+        Count(alias_name="n"), Sum("dl", alias_name="sum_dl")
+    )
+    return int(agg["n"] or 0), int(agg["sum_dl"] or 0)
+
+
 def merge_indexes(dir_a: str, dir_b: str, out_dir: str,
                   cfg: BuildConfig | None = None) -> dict:
     """Union two built indexes into ``out_dir`` (segments + staging + stats)."""
@@ -38,8 +86,7 @@ def merge_indexes(dir_a: str, dir_b: str, out_dir: str,
     sa, sb = stats[dir_a], stats[dir_b]
     if sa.get("tokenizer") != sb.get("tokenizer"):
         raise ValueError("cannot union indexes built with different tokenizers")
-    n = sa["n_docs"] + sb["n_docs"]
-    total = sa["total_postings"] + sb["total_postings"]
+    n, total = _merged_doc_stats(dir_a, dir_b)
     avgdl = total / n if n else 0.0
     keep_pos = bool(sa.get("keep_positions", True)) and bool(sb.get("keep_positions", True))
 
@@ -77,6 +124,19 @@ def merge_indexes(dir_a: str, dir_b: str, out_dir: str,
         rd.read_parquet(os.path.join(dir_a, "staging")).union(
             rd.read_parquet(os.path.join(dir_b, "staging"))
         ).write_parquet(stage_out)
+
+    # tombstones carry into the union: segments of either input may still
+    # hold postings of tombstoned-but-not-compacted docs, so the merged
+    # index must keep masking them until its own compaction (D1 semantics).
+    from .maintenance import load_tombstones, tombstone_path
+
+    tomb = sorted(
+        set(int(i) for i in load_tombstones(dir_a))
+        | set(int(i) for i in load_tombstones(dir_b))
+    )
+    if tomb:
+        with open(tombstone_path(out_dir), "w") as f:
+            json.dump({"doc_ids": tomb}, f)
 
     new_stats = dict(sa) | {
         "n_docs": n,

@@ -30,6 +30,24 @@ STOPWORDS = (
 SQL_STOPWORDS = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 
 
+def tune_shuffle_admission() -> None:
+    """Shrink the CPU admission reservation of hash-shuffle/join/aggregate
+    aggregator ACTORS (Ray Data reserves up to ``min(1, CPUs/2/partitions)``
+    per partition, default). Several standing hash operators in one pipeline
+    (two joins + an aggregate) reserve more CPUs than a small cluster has
+    and the pipeline deadlocks — observed hanging at 4 CPUs with
+    num_partitions=8. The reservation only gates actor admission (each
+    aggregator is max_concurrency=1 regardless), so a small value trades
+    nothing at sandbox scale; at cluster scale partitions — not
+    reservations — bound shuffle parallelism."""
+    from ray.data.context import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.join_operator_actor_num_cpus_per_partition_override = 0.05
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05
+    ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.05
+
+
 def pool(n_pools: int = 1) -> tuple[int, int]:
     """Actor-pool (min, max) that can never starve task operators: min 1,
     max = (cluster CPUs - 2 reserved for read/write tasks) / n_pools."""
@@ -178,11 +196,14 @@ def word_hash_stream(toks: list[list[str]]) -> tuple[np.ndarray, np.ndarray]:
 # fingerprint oracles): fold FNV-1a with list_reduce over ord() bytes,
 # 64-bit wrap via HUGEINT multiply mod 2^64.
 def sql_fnv1a(expr: str) -> str:
+    # lambda vars deliberately obscure: DuckDB resolves plain names like
+    # ``i`` against outer query columns first, silently breaking the hash
     return (
         "list_reduce(list_prepend(14695981039346656037::UBIGINT, "
-        f"list_transform(range(1, length({expr})+1), i -> ord(substr({expr}, i, 1))::UBIGINT)), "
-        "(acc, b) -> ((xor(acc::UBIGINT, b)::HUGEINT * 1099511628211) "
-        "% 18446744073709551616)::UBIGINT)"
+        f"list_transform(range(1, length({expr})+1), "
+        f"__fnvi -> ord(substr({expr}, __fnvi, 1))::UBIGINT)), "
+        "(__fnva, __fnvb) -> ((xor(__fnva::UBIGINT, __fnvb)::HUGEINT "
+        "* 1099511628211) % 18446744073709551616)::UBIGINT)"
     )
 
 

@@ -36,6 +36,7 @@ from ray.data.aggregate import Count, Min, Sum
 from .common import (
     SQL_TOKENS,
     distinct_per_row,
+    tune_shuffle_admission,
     md5_hex,
     pool,
     read_documents,
@@ -100,6 +101,7 @@ def q_exact_dedup(sf_dir: str):
             }
         )
 
+    tune_shuffle_admission()
     ds = read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
         hash_batch, batch_format="pyarrow"
     )
@@ -299,6 +301,7 @@ def q_minhash_lsh(sf_dir: str):
     pair-key groupby (cross-band dedup) → two equi-joins against the
     shingle-set table → per-row exact Jaccard. Rows-only driver check
     (hash permutations are not SQL-expressible)."""
+    tune_shuffle_admission()
 
     bands = read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
         MinHashStage, batch_format="pyarrow", concurrency=pool(), num_cpus=1

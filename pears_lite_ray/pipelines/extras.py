@@ -1,0 +1,392 @@
+"""Driver-facing coverage for operator families that were pytest-only in
+round 1: the CSV source (S4), index union (S7), tombstone+compaction (D1),
+pod routing (Q9) and the multimodal stages.
+
+Entries with exact SQL semantics get DuckDB oracles:
+
+* csv_docs     — the CSV → document derivation is pure string assembly,
+                 replicated in SQL over ``documents``.
+* merge_bm25   — two half-corpus indexes unioned must score EXACTLY like
+                 one full-corpus index → the existing full-corpus BM25 SQL.
+* compact_bm25 — delete every doc_id ≡ 3 (mod 7), compact, rescore → the
+                 BM25 SQL over the filtered corpus.
+
+Rows-only (not ANSI-SQL-expressible): pods_route (feature-hash centroids),
+multimodal_* (binary payload plumbing; correctness pinned by pytest).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import BuildConfig
+from .common import documents_path, pool, read_documents
+from .fulltext import (
+    BM25_QUERIES,
+    BM25_TOP_K,
+    sql_bm25_scores,
+)
+
+COMPACT_MOD, COMPACT_RESIDUE = 7, 3  # tombstone doc_id % 7 == 3
+
+
+def _cache_dir(sf_dir: str, kind: str) -> str:
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join("/tmp/pears_idx_cache", f"{tag}-{kind}")
+
+
+# -- S4: CSV source ----------------------------------------------------------
+
+def _csv_path(sf_dir: str) -> str:
+    """Deterministic ';'-CSV derived from the documents table (the driver
+    testdata has no CSV file; this synthesizes one — same data, new
+    format), one row per doc in doc_id order."""
+    import pyarrow.parquet as pq
+
+    # basename must be exactly 'docs.csv': the source name feeds the title
+    # prefix ('Docs') that the SQL oracle reproduces
+    out = os.path.join(_cache_dir(sf_dir, "csv"), "docs.csv")
+    if not os.path.exists(out):
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        t = pq.read_table(documents_path(sf_dir), columns=["doc_id", "text", "lang"])
+        order = np.argsort(t["doc_id"].to_numpy())
+        ids = t["doc_id"].to_numpy()[order]
+        langs = np.asarray(t["lang"].to_pylist(), dtype=object)[order]
+        nchars = np.asarray([len(x) for x in t["text"].to_pylist()])[order]
+        tmp = out + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("name;lang;nchars\n")
+            for d, lg, nc in zip(ids, langs, nchars):
+                f.write(f"doc{d};{lg};{nc}\n")
+        os.replace(tmp, out)
+    return out
+
+
+def q_csv_docs(sf_dir: str):
+    """CSV rows → corpus-schema document rows (S4 semantics:
+    controllers.py:224-264 — ``Source: <cell0> [<row#>]`` titles,
+    ``<file>#<title>`` urls, ``col: value. `` body)."""
+    from ..sources.csvdocs import csv_to_docs
+
+    t = csv_to_docs(_csv_path(sf_dir))
+    return t.select(["url", "title", "text", "lang", "doctype"])
+
+
+# -- S7: index union ---------------------------------------------------------
+
+def _half_paths(sf_dir: str) -> tuple[str, str]:
+    """documents split by doc_id parity into two parquet files."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    base = _cache_dir(sf_dir, "halves")
+    pa_, pb_ = os.path.join(base, "even.parquet"), os.path.join(base, "odd.parquet")
+    if not (os.path.exists(pa_) and os.path.exists(pb_)):
+        os.makedirs(base, exist_ok=True)
+        t = pq.read_table(documents_path(sf_dir))
+        even = pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)
+        pq.write_table(t.filter(even), pa_)
+        pq.write_table(t.filter(pc.invert(even)), pb_)
+    return pa_, pb_
+
+
+def _bm25_rows(index_dir: str) -> pa.Table:
+    """(query_id, doc_id, score) — ALL matching docs, 6dp (same contract as
+    fulltext.q_bm25_scores)."""
+    from ..query.engine import QueryEngine
+
+    eng = QueryEngine(index_dir, mode="bm25")
+    qids, dids, scores = [], [], []
+    for qid, q in BM25_QUERIES:
+        d, s = eng.search_scores(q, k=1 << 31, use_wand=False)
+        qids.extend([qid] * d.size)
+        dids.extend(d.tolist())
+        scores.extend(np.round(s, 6).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int32()),
+            "doc_id": pa.array(dids, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+
+
+def q_merge_bm25(sf_dir: str):
+    """Union of two independently-built half-corpus indexes (S7), validated
+    by scoring: merged BM25 == the full-corpus SQL oracle."""
+    from ..index.build import build_index
+    from ..index.merge import merge_indexes
+
+    pa_, pb_ = _half_paths(sf_dir)
+    ia, ib = _cache_dir(sf_dir, "idx-even"), _cache_dir(sf_dir, "idx-odd")
+    im = _cache_dir(sf_dir, "idx-merged")
+    for paths, d in ((pa_, ia), (pb_, ib)):
+        if not os.path.exists(os.path.join(d, "stats.json")):
+            build_index([paths], BuildConfig(out_dir=d, tokenizer="regex",
+                                             vocab_path=None))
+    if not os.path.exists(os.path.join(im, "stats.json")):
+        merge_indexes(ia, ib, im, BuildConfig(out_dir=im, tokenizer="regex",
+                                              vocab_path=None))
+    return _bm25_rows(im)
+
+
+# -- D1: tombstone + compaction ----------------------------------------------
+
+def q_compact_bm25(sf_dir: str):
+    """Delete every doc_id ≡ 3 (mod 7) via tombstones, compact the index,
+    rescore (D1): results must equal a corpus that never held those docs."""
+    import pyarrow.parquet as pq
+
+    from ..index.build import build_index
+    from ..index.maintenance import compact, delete_doc_ids
+
+    out = _cache_dir(sf_dir, "idx-compacted")
+    marker = os.path.join(out, "COMPACTED")
+    if not os.path.exists(marker):
+        build_index([documents_path(sf_dir)],
+                    BuildConfig(out_dir=out, tokenizer="regex", vocab_path=None))
+        ids = pq.read_table(documents_path(sf_dir), columns=["doc_id"])["doc_id"].to_numpy()
+        victims = ids[ids % COMPACT_MOD == COMPACT_RESIDUE]
+        delete_doc_ids(out, victims)
+        compact(out, BuildConfig(out_dir=out, tokenizer="regex", vocab_path=None))
+        with open(marker, "w") as f:
+            f.write("done")
+    return _bm25_rows(out)
+
+
+# -- Q9: pod routing ---------------------------------------------------------
+
+N_PODS = 4
+
+
+def _pods_index(sf_dir: str) -> str:
+    """Index over documents with a synthetic pod column (doc_id % 4)."""
+    import pyarrow.parquet as pq
+
+    from ..index.build import build_index
+
+    out = _cache_dir(sf_dir, "idx-pods")
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        src = _cache_dir(sf_dir, "pods-src") + ".parquet"
+        os.makedirs(os.path.dirname(src), exist_ok=True)
+        t = pq.read_table(documents_path(sf_dir))
+        pods = [f"pod{int(d) % N_PODS}" for d in t["doc_id"].to_numpy()]
+        pq.write_table(
+            t.append_column("pod", pa.array(pods, pa.string())), src
+        )
+        build_index([src], BuildConfig(out_dir=out, tokenizer="regex",
+                                       vocab_path=None))
+    return out
+
+
+def q_pods_route(sf_dir: str):
+    """Pod routing + pod-restricted scoring (Q9): per query, the routed pod
+    list (rank-ordered) and the top-k doc_ids restricted to those pods.
+    Rows-only (feature-hashed centroids aren't SQL); the restriction
+    invariant doc_id % 4 ∈ routed-pods is what the rows witness."""
+    from ..query.engine import QueryEngine
+
+    idx = _pods_index(sf_dir)
+    eng = QueryEngine(idx, mode="bm25")
+    out_q, out_kind, out_rank, out_val = [], [], [], []
+    for qid, q in BM25_QUERIES:
+        pods = eng.route_pods(q, top=3)
+        for r, p in enumerate(pods):
+            out_q.append(qid)
+            out_kind.append("pod")
+            out_rank.append(r)
+            out_val.append(p)
+        docs, _ = eng.search_scores(q, BM25_TOP_K, pods=pods)
+        for r, d in enumerate(docs.tolist()):
+            out_q.append(qid)
+            out_kind.append("doc")
+            out_rank.append(r)
+            out_val.append(str(d))
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int32()),
+            "kind": pa.array(out_kind, pa.string()),
+            "rank": pa.array(out_rank, pa.int32()),
+            "value": pa.array(out_val, pa.string()),
+        }
+    )
+
+
+# -- multimodal stages -------------------------------------------------------
+
+IMG_W = IMG_H = 16
+AUDIO_SR = 8000
+AUDIO_SAMPLES = 128
+VID_W = VID_H = 8
+VID_FRAMES = 6
+
+
+def _payload_bytes(text: str, n: int, salt: int) -> np.ndarray:
+    """Deterministic pseudo-pixels from a doc's text bytes (repeat + offset
+    by salt) — the environment has no image/audio files; the STAGES under
+    test are real, the payloads are synthesized."""
+    raw = np.frombuffer(text.encode()[: 4 * n], dtype=np.uint8)
+    if raw.size == 0:
+        raw = np.array([salt & 0xFF], dtype=np.uint8)
+    reps = int(np.ceil(n / raw.size))
+    return (np.tile(raw, reps)[:n].astype(np.int64) + salt).astype(np.uint8)
+
+
+class SynthMediaStage:
+    """documents rows → (media_id, kind, payload) — one image, one audio
+    clip and one video per doc, all derived from the doc's own bytes."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.multimodal import pack_audio, pack_image, pack_video
+
+        ids, kinds, payloads = [], [], []
+        for d, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            img = _payload_bytes(text, IMG_W * IMG_H, d % 97)
+            ids.append(d)
+            kinds.append("image")
+            payloads.append(pack_image(IMG_W, IMG_H, img))
+            au = _payload_bytes(text, AUDIO_SAMPLES, d % 89).astype(np.int16)
+            au = (au.astype(np.int32) * 64 - 8192).astype(np.int16)
+            ids.append(d)
+            kinds.append("audio")
+            payloads.append(pack_audio(AUDIO_SR, au))
+            vid = _payload_bytes(text, VID_W * VID_H * VID_FRAMES, d % 83)
+            ids.append(d)
+            kinds.append("video")
+            payloads.append(
+                pack_video(VID_W, VID_H, vid.reshape(VID_FRAMES, VID_H, VID_W))
+            )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "kind": pa.array(kinds, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+
+def _media_ds(sf_dir: str, kind: str):
+    # synth is stateless → a plain callable instance (task pool), so the
+    # ONE standing actor pool per entry is the decode stage. Several
+    # min-1 actor pools stacked in one pipeline deadlock a small cluster
+    # (4 pools on 4 CPUs starve the read tasks — observed; see
+    # BuildConfig.tokenize_concurrency note).
+    return (
+        read_documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(SynthMediaStage(), batch_format="pyarrow")
+        .filter(expr=f"kind == '{kind}'")
+    )
+
+
+def q_multimodal_image(sf_dir: str):
+    """image payload → decode → 16×16 resize → 16-bin intensity histogram
+    (the batched-inference shape; small batch_size for binary payloads)."""
+    from ..stages.multimodal import (
+        DecodeImageStage,
+        ImageFeatureStage,
+        ResizeImageStage,
+    )
+
+    def widen(batch: pa.Table) -> pa.Table:
+        col = batch["feature"]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        m = arr.flatten().to_numpy(zero_copy_only=False).reshape(len(batch), -1)
+        cols = {"media_id": batch["media_id"]}
+        for j in range(m.shape[1]):
+            cols[f"f{j:02d}"] = pa.array(np.round(m[:, j], 6), pa.float64())
+        return pa.table(cols)
+
+    return (
+        _media_ds(sf_dir, "image")
+        .map_batches(DecodeImageStage, batch_format="pyarrow", batch_size=128,
+                     concurrency=pool(2), num_cpus=1)
+        .map_batches(ResizeImageStage(), batch_format="pyarrow", batch_size=128)
+        .map_batches(ImageFeatureStage(), batch_format="pyarrow", batch_size=128)
+        .map_batches(widen, batch_format="pyarrow")
+    )
+
+
+def q_multimodal_audio(sf_dir: str):
+    """audio payload → (sample_rate, n_samples, rms) summaries."""
+    from ..stages.multimodal import DecodeAudioStage
+
+    def round_rms(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("rms"), "rms",
+            pa.array(np.round(batch["rms"].to_numpy(), 6), pa.float64()),
+        )
+
+    return (
+        _media_ds(sf_dir, "audio")
+        .map_batches(DecodeAudioStage, batch_format="pyarrow", batch_size=128,
+                     concurrency=pool(2), num_cpus=1)
+        .map_batches(round_rms, batch_format="pyarrow")
+    )
+
+
+def q_multimodal_frames(sf_dir: str):
+    """video payload → every 2nd frame sampled (flat_map shape) → per-frame
+    mean intensity."""
+    from ..stages.multimodal import FrameSampleStage
+
+    def frame_stats(batch: pa.Table) -> pa.Table:
+        means = []
+        for payload in batch["payload"].to_pylist():
+            pix = np.frombuffer(payload, dtype=np.uint8, offset=8)
+            means.append(round(float(pix.mean()), 6) if pix.size else 0.0)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "frame_idx": batch["frame_idx"],
+                "mean_intensity": pa.array(means, pa.float64()),
+            }
+        )
+
+    return (
+        _media_ds(sf_dir, "video")
+        .map_batches(FrameSampleStage, batch_format="pyarrow", batch_size=128,
+                     concurrency=pool(2), num_cpus=1)
+        .map_batches(frame_stats, batch_format="pyarrow")
+    )
+
+
+QUERIES = {
+    "csv_docs": q_csv_docs,
+    "merge_bm25": q_merge_bm25,
+    "compact_bm25": q_compact_bm25,
+    "pods_route": q_pods_route,
+    "multimodal_image": q_multimodal_image,
+    "multimodal_audio": q_multimodal_audio,
+    "multimodal_frames": q_multimodal_frames,
+}
+
+ORACLE_SQL = {
+    # string-assembly replica of csv_to_docs over the synthesized CSV
+    # (itself derived from documents in doc_id order)
+    "csv_docs": """
+WITH rows AS (
+  SELECT doc_id, lang, length(text) AS nchars,
+         row_number() OVER (ORDER BY doc_id) - 1 AS i
+  FROM documents
+),
+built AS (
+  SELECT 'Docs: doc' || doc_id || ' [' || i || ']' AS title,
+         'name: doc' || doc_id || '. lang: ' || lang
+            || '. nchars: ' || nchars || '. ' AS body
+  FROM rows
+)
+SELECT 'docs.csv#' || title AS url,
+       title,
+       title || ' ' || body AS text,
+       'en' AS lang,
+       'csv' AS doctype
+FROM built""",
+    "merge_bm25": sql_bm25_scores(),
+    "compact_bm25": sql_bm25_scores(
+        where=f"WHERE doc_id % {COMPACT_MOD} <> {COMPACT_RESIDUE}"
+    ),
+}

@@ -189,14 +189,15 @@ def _qterms_values() -> str:
 
 _BM25_CTE = f"""
 WITH qterms(query_id, term) AS (VALUES {{qterms}}),
+docs AS (SELECT doc_id, text FROM documents {{where}}),
 toks AS (
-  SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents
+  SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM docs
 ),
 dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
 stats AS (
-  SELECT (SELECT count(*) FROM documents) AS n,
+  SELECT (SELECT count(*) FROM docs) AS n,
          (SELECT count(*) FROM toks)::DOUBLE
-           / (SELECT count(*) FROM documents) AS avgdl
+           / (SELECT count(*) FROM docs) AS avgdl
 ),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
 df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
@@ -216,16 +217,18 @@ scored AS (
 """
 
 
-def sql_bm25_scores() -> str:
+def sql_bm25_scores(where: str = "") -> str:
+    """``where``: optional SQL predicate (e.g. ``WHERE doc_id % 7 <> 3``)
+    restricting the corpus — used by the compaction/merge driver oracles."""
     return (
-        _BM25_CTE.format(qterms=_qterms_values())
+        _BM25_CTE.format(qterms=_qterms_values(), where=where)
         + "SELECT query_id, doc_id, round(raw, 6) AS score FROM scored"
     )
 
 
-def sql_bm25_topk() -> str:
+def sql_bm25_topk(where: str = "") -> str:
     return (
-        _BM25_CTE.format(qterms=_qterms_values())
+        _BM25_CTE.format(qterms=_qterms_values(), where=where)
         + f"""SELECT query_id, doc_id, round(raw, 6) AS score FROM scored
 QUALIFY row_number() OVER (
   PARTITION BY query_id ORDER BY round(raw, 6) DESC, doc_id

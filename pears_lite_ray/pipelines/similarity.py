@@ -141,103 +141,197 @@ class LshBucketStage:
         )
 
 
+class LshKnnStage(LshBucketStage):
+    """One-pass LSH ANN: per batch, compute each vector's signature, keep
+    vectors whose signature falls in a query's multi-probe set (exact bucket
+    or Hamming-1), score those exactly, emit the batch-local top-k. State
+    (hyperplanes + normalized query matrix + probe sets) is built once per
+    actor — the full corpus is never collected anywhere."""
+
+    def __init__(self, query_ids: np.ndarray, query_mat: np.ndarray,
+                 dim: int, k: int = TOP_K):
+        super().__init__(dim=dim)
+        self.qids = query_ids
+        self.qn = query_mat / np.linalg.norm(query_mat, axis=1, keepdims=True)
+        self.k = k
+        qsig = self.signature(query_mat)
+        # probe set per query: own bucket + all Hamming-1 buckets
+        self.want = [
+            {int(qsig[qi])} | {int(qsig[qi]) ^ (1 << b) for b in range(LSH_BITS)}
+            for qi in range(query_ids.size)
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        col = batch["embedding"]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        m = flat.reshape(len(batch), -1)
+        sig = self.signature(m)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        out_q, out_n, out_c = [], [], []
+        for qi in range(self.qids.size):
+            probe = np.fromiter(self.want[qi], dtype=np.int64)
+            mask = np.isin(sig, probe) & (ids != self.qids[qi])
+            if not mask.any():
+                continue
+            cand_ids = ids[mask]
+            cos = self.qn[qi] @ mn[mask].T
+            sel = np.lexsort((cand_ids, -np.round(cos, ROUND_DP)))[: self.k]
+            out_q.extend([int(self.qids[qi])] * sel.size)
+            out_n.extend(cand_ids[sel].tolist())
+            out_c.extend(cos[sel].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cos": pa.array(out_c, pa.float64()),
+            }
+        )
+
+
 def q_knn_lsh(sf_dir: str):
     """LSH-bucketed ANN: rerank only vectors whose signature is within
-    Hamming distance 1 of the query's. Rows-only check; recall is asserted
-    against brute force in tests."""
-    import pyarrow.parquet as pq
-
-    from .common import embeddings_path
-
-    qids, qmat = _query_matrix(sf_dir)
-    stage = LshBucketStage(dim=qmat.shape[1])
+    Hamming distance 1 of the query's — a single streaming map over the
+    corpus (signature + probe-filter + exact rerank fused per batch),
+    merged by the same tiny partial-top-k reduce as knn_cosine. No stage
+    materializes the corpus. Rows-only check; recall vs brute force is
+    asserted in tests."""
     import ray
 
-    buckets = read_embeddings(sf_dir, columns=["vec_id", "embedding"]).map_batches(
-        LshBucketStage, batch_format="pyarrow", concurrency=pool(), num_cpus=1,
-        fn_constructor_kwargs={"dim": qmat.shape[1]},
+    qids, qmat = _query_matrix(sf_dir)
+    partials = read_embeddings(sf_dir, columns=["vec_id", "embedding"]).map_batches(
+        LshKnnStage,
+        fn_constructor_kwargs={
+            "query_ids": qids, "query_mat": qmat, "dim": qmat.shape[1],
+        },
+        batch_format="pyarrow",
+        concurrency=pool(),
+        num_cpus=1,
     )
-    parts = [ray.get(r) for r in buckets.to_arrow_refs()]
-    all_b = pa.concat_tables(parts)
-    vec_bucket = dict(zip(all_b["vec_id"].to_pylist(), all_b["bucket"].to_pylist()))
-
-    qsig = stage.signature(qmat)
-    # candidate set: exact bucket or Hamming-1 neighbor buckets
-    out_q, out_n, out_c = [], [], []
-    emb = pq.read_table(embeddings_path(sf_dir), columns=["vec_id", "embedding"])
-    ids = emb["vec_id"].to_numpy()
-    mat = np.stack([np.asarray(v, np.float64) for v in emb["embedding"].to_pylist()])
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
-    for qi in range(qids.size):
-        want = {int(qsig[qi])} | {int(qsig[qi]) ^ (1 << b) for b in range(LSH_BITS)}
-        cand = np.array(
-            [i for i, v in enumerate(ids)
-             if vec_bucket[int(v)] in want and int(v) != int(qids[qi])],
-            dtype=np.int64,
+    parts = [t for t in (ray.get(r) for r in partials.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "cos": pa.array([], pa.float64()),
+            }
         )
-        if cand.size == 0:
-            continue
-        cos = qn[qi] @ mat[cand].T
-        order = np.lexsort((ids[cand], -np.round(cos, ROUND_DP)))[:TOP_K]
-        out_q.extend([int(qids[qi])] * len(order))
-        out_n.extend(ids[cand][order].tolist())
-        out_c.extend(np.round(cos, ROUND_DP)[order].tolist())
-    return pa.table(
-        {
-            "query_id": pa.array(out_q, pa.int64()),
-            "neighbor_id": pa.array(out_n, pa.int64()),
-            "cos": pa.array(out_c, pa.float64()),
-        }
-    )
+    return _final_topk(pa.concat_tables(parts))
 
 
 EMB_DUP_THRESHOLD = 0.3  # synthetic 64-dim embeddings: random cosines
 #                          concentrate near 0, so 0.3 marks genuine near-dups
 
 
+# Rows per block of the block-pair cross product. 8192 × 64 dims × 8 B =
+# 4 MiB per block; a task holds two blocks + one (8192×8192) boolean/score
+# temp — bounded regardless of corpus size.
+DUP_BLOCK_ROWS = 8192
+
+
 def q_embedding_dups(sf_dir: str):
-    """Embedding-cosine near-duplicate pairs (cos ≥ threshold, a < b).
+    """Embedding-cosine near-duplicate pairs (cos ≥ threshold, a < b) —
+    EXACT all-pairs, distributed as a block-pair cross product.
 
-    Per-batch matmul against the broadcast normalized matrix (ray.put once,
-    read per actor) — exact at oracle scale; at 100 TB the LSH-bucketed
-    variant (q_knn_lsh's signatures) prunes candidates first and this exact
-    kernel reranks within buckets."""
+    Why not LSH-bucket-then-rerank (the round-1 plan): measured on the
+    synthetic embeddings, threshold pairs are the upper tail of the random
+    cosine distribution (median 0.327, min 0.3001, max 0.51 at sf0.01) —
+    random-hyperplane collision probability at cos 0.3 is ≈0.60/bit, so no
+    banding scheme prunes meaningfully while keeping full recall; the
+    approximate variants are q_minhash_lsh/q_knn_lsh. Exact all-pairs is
+    inherently O(N²) compute; the scalable shape distributes it with
+    bounded memory: normalize once into B blocks held in the object store
+    (spillable), then one task per block pair (i ≤ j) fetches just its two
+    blocks and emits threshold hits. No full-matrix broadcast, no driver
+    materialization; output streams from a Dataset of B(B+1)/2 pair tasks."""
     import ray
-    import pyarrow.parquet as pq
+    import ray.data as rd
 
-    from .common import embeddings_path
-
-    emb = pq.read_table(embeddings_path(sf_dir), columns=["vec_id", "embedding"])
-    all_ids = emb["vec_id"].to_numpy()
-    mat = np.stack([np.asarray(v, np.float64) for v in emb["embedding"].to_pylist()])
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    ref = ray.put((all_ids, mat))
-
-    def pairs(batch: pa.Table) -> pa.Table:
-        ids_all, m_all = ray.get(ref)
+    def normalize(batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"].to_numpy()
         col = batch["embedding"]
         arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
         m = flat.reshape(len(batch), -1)
         m = m / np.linalg.norm(m, axis=1, keepdims=True)
-        cos = m @ m_all.T  # (batch, all)
-        bi, aj = np.nonzero(cos >= EMB_DUP_THRESHOLD)
-        a = ids[bi]
-        b = ids_all[aj]
-        keep = a < b  # each unordered pair once, from its lower-id side
-        c = np.round(cos[bi, aj], 4)
+        dim = m.shape[1]
         return pa.table(
             {
-                "vec_a": pa.array(a[keep], pa.int64()),
-                "vec_b": pa.array(b[keep], pa.int64()),
-                "cos": pa.array(c[keep], pa.float64()),
+                "vec_id": pa.array(ids, pa.int64()),
+                "nemb": pa.FixedSizeListArray.from_arrays(
+                    pa.array(m.reshape(-1), pa.float64()), dim
+                ),
             }
         )
 
-    return read_embeddings(sf_dir, columns=["vec_id", "embedding"]).map_batches(
-        pairs, batch_format="pyarrow"
+    norm = (
+        read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+        .map_batches(normalize, batch_format="pyarrow",
+                     batch_size=DUP_BLOCK_ROWS)
+        .materialize()
+    )
+    refs = norm.to_arrow_refs()  # block handles; data stays in the store
+    nb = len(refs)
+
+    def unpack(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        ids = t["vec_id"].to_numpy()
+        col = t["nemb"]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        return ids, flat.reshape(len(t), -1)
+
+    class BlockPairStage:
+        """One __call__ row-batch = a set of (i, j) block pairs; fetches the
+        two blocks per pair from the object store and emits threshold hits."""
+
+        def __init__(self, block_refs: list):
+            self.refs = block_refs
+            self.cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+        def block(self, i: int):
+            if i not in self.cache:
+                if len(self.cache) > 4:  # keep per-actor memory bounded
+                    self.cache.clear()
+                self.cache[i] = unpack(ray.get(self.refs[i]))
+            return self.cache[i]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out_a, out_b, out_c = [], [], []
+            for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
+                ids_i, m_i = self.block(i)
+                ids_j, m_j = self.block(j)
+                cos = m_i @ m_j.T
+                ai, bj = np.nonzero(cos >= EMB_DUP_THRESHOLD)
+                a, b = ids_i[ai], ids_j[bj]
+                keep = a < b  # i==j: upper triangle; i<j: orient by id
+                if i != j:
+                    swap = a > b
+                    a2 = np.where(swap, b, a)
+                    b2 = np.where(swap, a, b)
+                    a, b = a2, b2
+                    keep = a < b
+                c = np.round(cos[ai, bj], ROUND_DP)
+                out_a.extend(a[keep].tolist())
+                out_b.extend(b[keep].tolist())
+                out_c.extend(c[keep].tolist())
+            return pa.table(
+                {
+                    "vec_a": pa.array(out_a, pa.int64()),
+                    "vec_b": pa.array(out_b, pa.int64()),
+                    "cos": pa.array(out_c, pa.float64()),
+                }
+            )
+
+    pair_rows = [{"i": i, "j": j} for i in range(nb) for j in range(i, nb)]
+    return rd.from_items(pair_rows).map_batches(
+        BlockPairStage,
+        fn_constructor_kwargs={"block_refs": refs},
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=pool(),
+        num_cpus=1,
     )
 
 

@@ -3,10 +3,13 @@
 * quality     — per-doc quality metrics (token counts, type/token ratio,
                 stopword ratio, mean token length). SQL-oracle-checked.
 * token_count — whitespace + BPE-ish regex token counts. SQL-oracle-checked.
-* langid      — n-gram/stopword-heuristic language ID. Rows-only (the
-                heuristic tables aren't SQL).
-* fingerprint — winnowing document fingerprint (rolling hash, window
-                minima). Rows-only.
+* langid      — stopword-marker-heuristic language ID. SQL-oracle-checked
+                (marker hit rates + argmax CASE chain).
+* fingerprint — winnowing document fingerprint (Schleimer et al. 2003):
+                sequence-ordered 3-gram FNV hashes, sliding-window minima,
+                distinct set → count + xor digest. SQL-oracle-checked (the
+                oracle replicates FNV-1a via list_reduce and the window
+                minima via a frame window function).
 """
 
 from __future__ import annotations
@@ -14,7 +17,16 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .common import SQL_STOPWORDS, SQL_TOKENS, STOPWORDS, read_documents, round6, tokens_per_row
+from .common import (
+    SQL_STOPWORDS,
+    SQL_TOKENS,
+    STOPWORDS,
+    read_documents,
+    round6,
+    shingle_stream,
+    sql_fnv1a,
+    tokens_per_row,
+)
 
 # BPE-ish subtoken splitter: runs of letters, digits, or a single other
 # non-space char — SQL-expressible with regexp_extract_all.
@@ -94,7 +106,8 @@ def q_token_count(sf_dir: str):
 
 def q_langid(sf_dir: str):
     """Stopword-marker language scores; prediction = argmax marker hit rate
-    (ties → 'und' order of the marker table). Rows-only driver check."""
+    (strict-improvement scan, so marker-table order breaks ties).
+    SQL-oracle-checked (the CASE chain below replicates the tie order)."""
 
     def lid(batch: pa.Table) -> pa.Table:
         toks, counts = tokens_per_row(batch)
@@ -112,7 +125,7 @@ def q_langid(sf_dir: str):
                 if rate > best:
                     best_lang, best = lang, rate
             preds.append(best_lang if best > 0.02 else "unknown")
-            confs.append(round(best, 6))
+            confs.append(float(round6(best)))
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -127,32 +140,33 @@ def q_langid(sf_dir: str):
 
 
 def q_fingerprint(sf_dir: str):
-    """Winnowing fingerprints (Schleimer et al. 2003): FNV hashes of 3-gram
-    shingles, minimum per sliding window of 4 → characteristic set.
-    Returns per-doc fingerprint count + a stable 64-bit digest."""
-    import hashlib
-
-    from .dedup import _shingle_hashes
+    """Winnowing fingerprints (Schleimer et al. 2003): sequence-ordered FNV
+    hashes of 3-gram shingles (batched kernel), minimum per sliding window
+    of 4 → distinct characteristic set. Returns per-doc fingerprint count +
+    a stable 63-bit xor digest (xor keeps the digest SQL-replicable with
+    bit_xor; round-1's blake2b digest was not)."""
 
     def fp(batch: pa.Table) -> pa.Table:
         toks, _ = tokens_per_row(batch)
+        rows, hs = shingle_stream(toks, FP_NGRAM)
+        counts = np.zeros(len(toks), dtype=np.int64)
+        if rows.size:
+            np.add.at(counts, rows, 1)
+        offs = np.r_[0, np.cumsum(counts)]
         n_out, dig_out = [], []
-        for words in toks:
-            hs = _shingle_hashes(words, FP_NGRAM)
-            if hs.size == 0:
+        for i in range(len(toks)):
+            seq = hs[offs[i]:offs[i + 1]]
+            if seq.size == 0:
                 n_out.append(0)
                 dig_out.append(0)
                 continue
-            if hs.size <= FP_WINDOW:
-                mins = {int(hs.min())}
+            if seq.size <= FP_WINDOW:
+                mins = np.array([seq.min()], dtype=np.uint64)
             else:
-                w = np.lib.stride_tricks.sliding_window_view(hs, FP_WINDOW)
-                mins = set(int(v) for v in w.min(axis=1))
-            sel = np.array(sorted(mins), dtype=np.uint64)
-            digest = int.from_bytes(
-                hashlib.blake2b(sel.tobytes(), digest_size=8).digest(), "big"
-            ) & ((1 << 63) - 1)
-            n_out.append(len(mins))
+                w = np.lib.stride_tricks.sliding_window_view(seq, FP_WINDOW)
+                mins = np.unique(w.min(axis=1))
+            digest = int(np.bitwise_xor.reduce(mins)) & ((1 << 63) - 1)
+            n_out.append(int(mins.size))
             dig_out.append(digest)
         return pa.table(
             {
@@ -174,7 +188,71 @@ QUERIES = {
     "fingerprint": q_fingerprint,
 }
 
+def _sql_marker_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in sorted(_LANG_MARKERS[lang])) + "]"
+
+
+def _sql_rate(lang: str) -> str:
+    return (
+        f"len(list_filter(t, x -> list_contains({_sql_marker_list(lang)}, x)))::DOUBLE"
+        f" / greatest(len(t), 1)"
+    )
+
+
+_FNV_SHINGLE = sql_fnv1a("t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '")
+
 ORACLE_SQL = {
+    # argmax with strict-improvement tie order en > de > fr > es (the
+    # engine's dict scan order); confidence is the best rate regardless of
+    # whether it clears the 0.02 'unknown' floor.
+    "langid": f"""
+WITH base AS (SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
+rates AS (
+  SELECT doc_id,
+         {_sql_rate('en')} AS r_en,
+         {_sql_rate('de')} AS r_de,
+         {_sql_rate('fr')} AS r_fr,
+         {_sql_rate('es')} AS r_es
+  FROM base
+)
+SELECT doc_id,
+       CASE WHEN greatest(r_en, r_de, r_fr, r_es) <= 0.02 THEN 'unknown'
+            WHEN r_en >= r_de AND r_en >= r_fr AND r_en >= r_es THEN 'en'
+            WHEN r_de >= r_fr AND r_de >= r_es THEN 'de'
+            WHEN r_fr >= r_es THEN 'fr'
+            ELSE 'es' END AS pred_lang,
+       round(greatest(r_en, r_de, r_fr, r_es), 6) AS confidence
+FROM rates""",
+    # winnowing replica: FNV-1a per sequence-ordered shingle (list_reduce
+    # over bytes), min per 4-wide frame window, one window (the global min)
+    # when a doc has ≤4 shingles, distinct minima → count + masked bit_xor.
+    "fingerprint": f"""
+WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
+sh AS (
+  SELECT doc_id, i, {_FNV_SHINGLE} AS h
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+),
+counted AS (
+  SELECT doc_id, i, h, count(*) OVER (PARTITION BY doc_id) AS n FROM sh
+),
+wins AS (
+  SELECT doc_id, i, n,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+  FROM counted
+),
+sel AS (
+  SELECT DISTINCT doc_id, wmin FROM wins WHERE i <= greatest(n - 3, 1)
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_fingerprints,
+         (bit_xor(wmin) & 9223372036854775807::UBIGINT)::BIGINT AS fp_digest
+  FROM sel GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_fingerprints, 0)::BIGINT AS n_fingerprints,
+       coalesce(a.fp_digest, 0)::BIGINT AS fp_digest
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""",
     "quality": f"""
 WITH base AS (SELECT doc_id, text, {SQL_TOKENS} AS t FROM documents)
 SELECT doc_id,

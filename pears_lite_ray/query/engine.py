@@ -62,10 +62,15 @@ class QueryEngine:
 
     # -- query prep ---------------------------------------------------------
     def _prep(self, query: str):
+        # stopwords are stripped from the RAW query string with the install
+        # language BEFORE DSL parsing, matching the reference's order
+        # (controllers.py:55 strips before score_pages sees the query) —
+        # '?the' keeps its '?' marker word intact rather than being reduced
+        # to a bare stopword first.
+        if self.strip:
+            query = strip_stopwords(query, self.stats.languages[0])
         parsed = parse_query(query, default_lang=self.stats.languages[0])
         q = parsed.query
-        if self.strip:
-            q = strip_stopwords(q, parsed.lang)
         pieces = self.tokenizer.encode_pieces(q)
         ids, _ = self.tokenizer.encode_ids_positions(q)
         return parsed, q, pieces, ids
@@ -114,6 +119,10 @@ class QueryEngine:
             # pod restriction (Q9 pruning): score candidates, keep docs of
             # the routed pods only — exact path (pruning + WAND skipping
             # compose poorly; routed scoring stays vectorized)
+            if not rows:
+                # every query term absent from the corpus: _accumulate's
+                # np.concatenate would raise on its empty list
+                return np.empty(0, np.int64), np.empty(0, np.float64)
             docs, scores, counts = bm25._accumulate(
                 rows, self.stats.n_docs, self.stats.avgdl,
                 self.stats.k1, self.stats.b, conjunctive=conjunctive,
@@ -134,18 +143,20 @@ class QueryEngine:
             word_groups = pears.group_pieces_into_words(pieces, ids)
         else:
             word_groups = [[t] for t in dict.fromkeys(ids)]
-        # snippet component needs title+snippet for candidate docs: compute
-        # candidates first without meta, then join and rescore.
-        pre = pears.pears_scores(q, word_groups, rows_by_id, doc_meta=None)
-        if not pre:
+        # snippet component needs title+snippet for candidate docs: one
+        # evaluator decodes postings/positions once, yields the candidate
+        # set, then rescoring with metadata reuses the decoded state.
+        if not word_groups:
             return np.empty(0, np.int64), np.empty(0, np.float64)
-        cand = np.array(sorted(pre), dtype=np.int64)
-        meta_tbl = self.docs.lookup(cand)
+        ev = pears.PearsEvaluator(word_groups, rows_by_id)
+        if ev.candidates.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        meta_tbl = self.docs.lookup(ev.candidates)
         meta = {
             int(r["doc_id"]): (r["title"] or "", r["snippet"] or "")
             for r in meta_tbl.to_pylist()
         }
-        full = pears.pears_scores(q, word_groups, rows_by_id, doc_meta=meta)
+        full = ev.scores(q, doc_meta=meta)
         doc_ids = np.array(sorted(full), dtype=np.int64)
         scores = np.array([full[int(d)] for d in doc_ids], dtype=np.float64)
         keep = scores > 0  # bestURLs keeps positive scores only (K1)

@@ -88,6 +88,163 @@ def group_pieces_into_words(pieces: list[str], ids: list[int]) -> list[list[int]
     return words
 
 
+class PearsEvaluator:
+    """One query's fused scoring state (score_pages.py:96-114), decoded
+    once and reused across the meta-less candidate pass and the final
+    scored pass.
+
+    Round-2 performance shape (fixes the 23.6 s/4-query hot spot):
+    * doc/tf streams decode once per distinct term; POSITION streams decode
+      only when the conjunctive candidate set is non-empty and the query
+      has a multi-subword or multi-word shape — and then stay as one flat
+      numpy array + offsets per term, sliced per candidate (no per-posting
+      Python tuples).
+    * word groups deduplicate by token-id tuple — equivalent to the
+      reference's position-tuple set-dedup (overlap_calculation.py:69-71):
+      identical words share position tuples, distinct words can't collide
+      on them (a position holds one token).
+    * completeness and the fused sum are vectorized over candidates.
+    """
+
+    def __init__(
+        self,
+        word_groups: list[list[int]],
+        segment_rows: dict[int, dict],
+        completeness_threshold: float = 0.3,
+    ):
+        self.threshold = completeness_threshold
+        self.word_groups = word_groups
+        distinct_ids: list[int] = []
+        for grp in word_groups:
+            for tid in grp:
+                if tid not in distinct_ids:
+                    distinct_ids.append(tid)
+        self.distinct_ids = distinct_ids
+        self.n_query_terms = len(distinct_ids)
+        self._rows = segment_rows
+        self._docs: dict[int, np.ndarray] = {}
+        self._tfs: dict[int, np.ndarray] = {}
+        self._pos: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for tid in distinct_ids:
+            row = segment_rows.get(tid)
+            if row is None or row["df"] == 0:
+                self._docs[tid] = np.empty(0, np.int64)
+                self._tfs[tid] = np.empty(0, np.int64)
+                continue
+            docs, tfs, _ = codec.decode_posting_list(row)
+            self._docs[tid] = docs
+            self._tfs[tid] = tfs
+        self.candidates, self.cand_completeness, self._conj_mask = (
+            self._candidates()
+        )
+        self._posix = self._phrase_scores()
+
+    def _candidates(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        if self.n_query_terms == 0:
+            e = np.empty(0, np.int64)
+            return e, np.empty(0, np.float64), np.empty(0, bool)
+        all_docs = np.unique(
+            np.concatenate([self._docs[t] for t in self.distinct_ids])
+        )
+        if all_docs.size == 0:
+            return all_docs, np.empty(0, np.float64), np.empty(0, bool)
+        match_count = np.zeros(all_docs.size, dtype=np.int64)
+        for tid in self.distinct_ids:
+            match_count += np.isin(all_docs, self._docs[tid],
+                                   assume_unique=True)
+        completeness = match_count / self.n_query_terms
+        cand_mask = completeness >= self.threshold
+        return (
+            all_docs[cand_mask],
+            completeness[cand_mask],
+            match_count[cand_mask] == self.n_query_terms,
+        )
+
+    def _positions(self, tid: int) -> tuple[np.ndarray, np.ndarray]:
+        """(flat positions, offsets) for a term — decoded on first use."""
+        if tid not in self._pos:
+            row = self._rows[tid]
+            docs, tfs = self._docs[tid], self._tfs[tid]
+            if len(row["pos_bytes"]):
+                counts, flat = codec.decode_positions_stream(
+                    codec.varbyte_decode(row["pos_bytes"]), docs.size,
+                    counts=tfs.astype(np.int64),
+                )
+            else:
+                counts = np.zeros(docs.size, dtype=np.int64)
+                flat = np.empty(0, np.int64)
+            self._pos[tid] = (flat, np.r_[0, np.cumsum(counts)])
+        return self._pos[tid]
+
+    def _phrase_scores(self) -> np.ndarray:
+        """posix phrase score per conjunctive candidate (posix_score_seq,
+        enforce_subwords=True — overlap_calculation.py:65-122)."""
+        conj_docs = self.candidates[self._conj_mask]
+        out = np.zeros(conj_docs.size, dtype=np.float64)
+        if conj_docs.size == 0:
+            return out
+        seen: set[tuple[int, ...]] = set()
+        uniq_groups: list[list[int]] = []
+        for grp in self.word_groups:
+            key = tuple(grp)
+            if key not in seen:
+                seen.add(key)
+                uniq_groups.append(grp)
+        if len(uniq_groups) == 1 and len(uniq_groups[0]) == 1:
+            out[:] = 1.0
+            return out
+        word_ok = np.zeros((len(uniq_groups), conj_docs.size), dtype=np.float64)
+        # per-term row index of every conjunctive candidate (one
+        # searchsorted per term, not one per (term, doc))
+        idx = {
+            tid: np.searchsorted(self._docs[tid], conj_docs)
+            for tid in self.distinct_ids
+        }
+        for g, grp in enumerate(uniq_groups):
+            if len(grp) == 1:
+                # single-subword word: present (conjunctive) → matches
+                word_ok[g, :] = 1.0
+                continue
+            flat0, offs0 = self._positions(grp[0])
+            j0 = idx[grp[0]]
+            for c in range(conj_docs.size):
+                prev = flat0[offs0[j0[c]]:offs0[j0[c] + 1]]
+                matched = True
+                for tid in grp[1:]:
+                    flat, offs = self._positions(tid)
+                    j = idx[tid][c]
+                    cur = flat[offs[j]:offs[j + 1]]
+                    conseq = cur[np.isin(cur - 1, prev)]
+                    if conseq.size == 0:
+                        matched = False
+                        break
+                    prev = conseq
+                word_ok[g, c] = 1.0 if matched else 0.0
+        return word_ok.mean(axis=0)
+
+    def scores(
+        self, query: str, doc_meta: "dict[int, tuple[str, str]] | None"
+    ) -> dict[int, float]:
+        """Fused score per candidate doc; ``doc_meta=None`` skips the
+        snippet component (used by the candidate pass)."""
+        s = self.cand_completeness.copy()
+        s[self._conj_mask] += self._posix
+        out: dict[int, float] = {}
+        for i, d in enumerate(self.candidates):
+            d = int(d)
+            v = float(s[i])
+            if doc_meta is not None:
+                title, snippet = doc_meta.get(d, ("", ""))
+                snip = generic_overlap(query, f"{title} {snippet}")
+                v += snip
+                if snip == 1.0:
+                    v += 1.0
+            if np.isnan(v) or self.cand_completeness[i] < self.threshold:
+                v = 0.0
+            out[d] = v
+        return out
+
+
 def pears_scores(
     query: str,
     word_groups: list[list[int]],
@@ -95,84 +252,11 @@ def pears_scores(
     doc_meta: "dict[int, tuple[str, str]] | None",
     completeness_threshold: float = 0.3,
 ) -> dict[int, float]:
-    """Fused document scores for one query (score_pages.py:96-114).
-
-    ``segment_rows``: term_id → segment row for every distinct in-vocab
-    query piece (missing terms → empty postings). ``doc_meta``: doc_id →
-    (title, snippet) for candidate docs (pass None to skip the snippet
-    component, e.g. when metadata is joined later).
-    """
-    distinct_ids = []
-    for grp in word_groups:
-        for tid in grp:
-            if tid not in distinct_ids:
-                distinct_ids.append(tid)
-    n_query_terms = len(distinct_ids)
-    if n_query_terms == 0:
+    """Fused document scores for one query (score_pages.py:96-114) —
+    convenience wrapper over :class:`PearsEvaluator` for one-shot callers."""
+    if not word_groups:
         return {}
-
-    # decode postings once per distinct term
-    postings: dict[int, tuple[np.ndarray, np.ndarray, list]] = {}
-    for tid in distinct_ids:
-        row = segment_rows.get(tid)
-        if row is None or row["df"] == 0:
-            postings[tid] = (np.empty(0, np.int64), np.empty(0, np.int64), [])
-            continue
-        docs, tfs, _ = codec.decode_posting_list(row)
-        counts, flat = codec.decode_positions_stream(
-            codec.varbyte_decode(row["pos_bytes"]), docs.size,
-            counts=tfs.astype(np.int64),
-        ) if len(row["pos_bytes"]) else (tfs.astype(np.int64) * 0, np.empty(0, np.int64))
-        offs = np.r_[0, np.cumsum(counts)]
-        pos_slices = [
-            tuple(flat[offs[i]:offs[i + 1]].tolist()) for i in range(docs.size)
-        ]
-        postings[tid] = (docs, tfs, pos_slices)
-
-    # completeness: matched distinct terms / distinct terms
-    all_docs = np.unique(np.concatenate([postings[t][0] for t in distinct_ids]))
-    if all_docs.size == 0:
+    ev = PearsEvaluator(word_groups, segment_rows, completeness_threshold)
+    if ev.candidates.size == 0:
         return {}
-    match_count = np.zeros(all_docs.size, dtype=np.int64)
-    for tid in distinct_ids:
-        match_count += np.isin(all_docs, postings[tid][0])
-    completeness = match_count / n_query_terms
-    cand_mask = completeness >= completeness_threshold
-    candidates = all_docs[cand_mask]
-    cand_completeness = completeness[cand_mask]
-
-    # conjunctive set + phrase scores (posix path)
-    conj_mask = match_count[cand_mask] == n_query_terms
-    posix: dict[int, float] = {}
-    for d in candidates[conj_mask]:
-        groups = []
-        ok = True
-        for grp in word_groups:
-            subs = []
-            for tid in grp:
-                docs, _, pos_slices = postings[tid]
-                j = int(np.searchsorted(docs, d))
-                if j >= docs.size or docs[j] != d:
-                    ok = False
-                    break
-                subs.append(pos_slices[j])
-            if not ok:
-                break
-            groups.append(tuple(subs))
-        if ok:
-            posix[int(d)] = phrase_score(groups)
-
-    scores: dict[int, float] = {}
-    for d, comp in zip(candidates, cand_completeness):
-        d = int(d)
-        s = posix.get(d, 0.0) + float(comp)
-        if doc_meta is not None:
-            title, snippet = doc_meta.get(d, ("", ""))
-            snip = generic_overlap(query, f"{title} {snippet}")
-            s += snip
-            if snip == 1.0:
-                s += 1.0
-        if np.isnan(s) or comp < completeness_threshold:
-            s = 0.0
-        scores[d] = s
-    return scores
+    return ev.scores(query, doc_meta)

@@ -1,0 +1,205 @@
+"""Round-2 parity additions: pseudo-XML source (S2), CSV hit aggregation
+(K4), rename (D3), pod delete (D2), pod export (W6)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pears_lite_ray.config import BuildConfig
+
+
+# -- S2: pseudo-XML <doc> corpus ---------------------------------------------
+
+XML_SAMPLE = """<doc url="https://a.example/1" title="First Doc">
+line one
+line two
+</doc>
+<doc url="https://a.example/2" title="Second">
+only line
+</doc>
+"""
+
+
+def test_parse_doc_lines_matches_reference_protocol():
+    from pears_lite_ray.sources.xmldocs import parse_doc_lines
+
+    urls, titles, bodies = parse_doc_lines(XML_SAMPLE)
+    assert urls == ["https://a.example/1", "https://a.example/2"]
+    assert titles == ["First Doc", "Second"]
+    # body lines each followed by one ' ' (controllers.py:210)
+    assert bodies == ["line one line two ", "only line "]
+
+
+def test_read_xml_docs_dataset(ray_session, tmp_path):
+    from pears_lite_ray.sources.xmldocs import read_xml_docs
+
+    p1 = tmp_path / "a.docs"
+    p1.write_text(XML_SAMPLE)
+    p2 = tmp_path / "b.docs"
+    p2.write_text('<doc url="https://b.example/9" title="">\nbody b\n</doc>\n')
+    t = read_xml_docs([str(p1), str(p2)]).to_pandas().sort_values("url")
+    assert list(t["url"]) == [
+        "https://a.example/1", "https://a.example/2", "https://b.example/9",
+    ]
+    assert t[t["url"] == "https://a.example/1"]["text"].iloc[0] == (
+        "First Doc line one line two "
+    )
+    # empty title still joined with ' ' (mk_page_vector.py:82)
+    assert t[t["url"] == "https://b.example/9"]["text"].iloc[0] == " body b "
+    assert set(t["doctype"]) == {"doc"}
+
+
+def test_xml_docs_index_end_to_end(ray_session, tmp_path):
+    """S2 source → PassthroughExtract build → searchable index."""
+    from pears_lite_ray.index.build import build_index
+    from pears_lite_ray.query.engine import QueryEngine
+    from pears_lite_ray.sources.xmldocs import read_xml_docs
+
+    docfile = tmp_path / "corpus.docs"
+    docs = "".join(
+        f'<doc url="https://x.example/{i}" title="doc {i}">\n'
+        f'papaya orchard number {i} with shared tokens\n</doc>\n'
+        for i in range(20)
+    )
+    docfile.write_text(docs)
+    src_dir = str(tmp_path / "xml_corpus")
+    read_xml_docs([str(docfile)]).write_parquet(src_dir)
+    srcs = sorted(
+        os.path.join(src_dir, f) for f in os.listdir(src_dir)
+        if f.endswith(".parquet")
+    )
+    out = str(tmp_path / "xml_idx")
+    build_index(srcs, BuildConfig(out_dir=out, tokenizer="regex", vocab_path=None))
+    eng = QueryEngine(out)
+    res = eng.search("papaya orchard", 5)
+    assert res.num_rows == 5
+    assert all(u.startswith("https://x.example/") for u in res["url"].to_pylist())
+
+
+# -- K4: CSV hit aggregation --------------------------------------------------
+
+def test_aggregate_csv_matches_reference():
+    from pears_lite_ray.query.aggregate import aggregate_csv
+
+    best = [
+        "https://plain.example/page",
+        "inventory.csv#Inventory: apples [3]",
+        "https://other.example/x",
+        "inventory.csv#Inventory: pears [7]",
+        "stock.csv#Stock: kiwi [0]",
+    ]
+    urls, csvs = aggregate_csv(best)
+    assert urls == ["https://plain.example/page", "https://other.example/x"]
+    assert csvs == [
+        ["inventory.csv", "inventory.csv#Inventory: apples [3]", ["3", "7"]],
+        ["stock.csv", "stock.csv#Stock: kiwi [0]", ["0"]],
+    ]
+
+
+def test_aggregate_csv_no_csv_hits():
+    from pears_lite_ray.query.aggregate import aggregate_csv
+
+    urls, csvs = aggregate_csv(["https://a/1", "https://a/2"])
+    assert urls == ["https://a/1", "https://a/2"]
+    assert csvs == []
+
+
+# -- D2/D3/W6: admin ops on a built index -------------------------------------
+
+@pytest.fixture(scope="module")
+def admin_index(ray_session, tmp_path_factory):
+    """Index over a small corpus; pods = url hosts (pod_of_url default)."""
+    import pyarrow.parquet as pq
+
+    from pears_lite_ray.index.build import build_index
+    from pears_lite_ray.sources.fixtures import generate_corpus
+
+    t = generate_corpus(60, seed=77)
+    d = tmp_path_factory.mktemp("admin_corpus")
+    src = os.path.join(str(d), "corpus.parquet")
+    pq.write_table(t, src)
+    out = str(tmp_path_factory.mktemp("admin_idx"))
+    build_index([src], BuildConfig(out_dir=out))
+    return out
+
+
+def _pod_with_docs(index_dir: str) -> str:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(index_dir, "pods"))
+    names = t["pod"].to_pylist()
+    counts = t["n_docs"].to_pylist()
+    return max(zip(counts, names))[1]
+
+
+def test_rename_url_updates_metadata_not_postings(admin_index):
+    from pears_lite_ray.index.admin import rename_url
+    from pears_lite_ray.query.engine import QueryEngine
+    from pears_lite_ray.sources.fixtures import HOT_TERM
+
+    eng = QueryEngine(admin_index)
+    res = eng.search(HOT_TERM, 3)
+    src = res["url"][0].as_py()
+    doc = res["doc_id"][0].as_py()
+    target = src + "-renamed"
+    assert rename_url(admin_index, src, target) >= 1
+
+    eng2 = QueryEngine(admin_index)  # fresh handles re-read staging
+    res2 = eng2.search(HOT_TERM, 3)
+    # same doc, same rank, same score — only the url string moved
+    assert res2["doc_id"][0].as_py() == doc
+    assert res2["url"][0].as_py() == target
+    assert res2["score"][0].as_py() == res["score"][0].as_py()
+
+
+def test_delete_pod_tombstones_and_drops_row(admin_index):
+    import pyarrow.parquet as pq
+
+    from pears_lite_ray.index.admin import delete_pod
+    from pears_lite_ray.index.maintenance import load_tombstones
+    from pears_lite_ray.query.engine import QueryEngine
+    from pears_lite_ray.sources.fixtures import HOT_TERM
+
+    victim_pod = _pod_with_docs(admin_index)
+    n = delete_pod(admin_index, victim_pod)
+    assert n > 0
+    assert load_tombstones(admin_index).size >= n
+    pods_left = pq.read_table(os.path.join(admin_index, "pods"))["pod"].to_pylist()
+    assert victim_pod not in pods_left and pods_left
+
+    # no doc of the pod ever surfaces again
+    import pyarrow.dataset as pads
+    import pyarrow.compute as pc
+
+    staging = pads.dataset(os.path.join(admin_index, "staging"))
+    victim_ids = set(
+        staging.to_table(columns=["doc_id"],
+                         filter=pc.equal(pc.field("pod"), victim_pod))["doc_id"]
+        .to_pylist()
+    )
+    assert victim_ids
+    eng = QueryEngine(admin_index)
+    docs, _ = eng.search_scores(HOT_TERM, 50)
+    assert not (victim_ids & set(docs.tolist()))
+
+
+def test_export_pod_lines(admin_index, tmp_path):
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from pears_lite_ray.index.admin import export_pod
+
+    pod = _pod_with_docs(admin_index)
+    out = str(tmp_path / f"{pod}.pears.txt")
+    n = export_pod(admin_index, pod, out)
+    staging = pads.dataset(os.path.join(admin_index, "staging"))
+    expect = staging.to_table(columns=["url", "lang"],
+                              filter=pc.equal(pc.field("pod"), pod))
+    assert n == expect.num_rows and n > 0
+    lines = open(out).read().splitlines()
+    assert len(lines) == n
+    urls = {u for u in expect["url"].to_pylist()}
+    for ln in lines[:5]:
+        u, p, _lang = ln.split(";")
+        assert p == pod and u in urls

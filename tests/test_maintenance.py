@@ -98,3 +98,59 @@ def test_compaction_equals_fresh_build(maint_index, tmp_path_factory, ray_sessio
         df_, sf = ef.search_scores(q, int(k))
         assert dc.tolist() == df_.tolist(), q
         assert np.allclose(sc, sf, atol=1e-12), q
+
+
+def test_compaction_preserves_cross_partition_dup_winners(ray_session, tmp_path_factory):
+    """A url indexed in TWO input files with different warc_ts and different
+    text: the build keeps the later-ts winner; compaction (even with zero
+    tombstones) must re-resolve the same winner from staging, not resurrect
+    the loser's postings or double-count its doc_id in n/avgdl."""
+    import pyarrow as pa
+
+    from pears_lite_ray.index.build import build_index
+    from pears_lite_ray.index.maintenance import compact
+    from pears_lite_ray.query.engine import QueryEngine
+    from pears_lite_ray.sources.fixtures import generate_queries, write_corpus
+
+    corpus = str(tmp_path_factory.mktemp("dup_corpus"))
+    paths = write_corpus(corpus, 80, n_files=2, seed=303)
+    # plant a cross-file duplicate: copy row 0 of file 0 into file 1 with a
+    # LATER timestamp and different html/text (the winner-to-be)
+    t0 = pq.read_table(paths[0])
+    t1 = pq.read_table(paths[1])
+    dup_url = t0["url"][0].as_py()
+    loser_ts = t0["warc_ts"][0].as_py()
+    winner_row = pa.table(
+        {
+            "url": pa.array([dup_url], pa.string()),
+            "warc_ts": pa.array(
+                [int(t0["warc_ts"].cast(pa.int64())[0].as_py()) + 10_000_000],
+                pa.timestamp("us"),
+            ),
+            "html": t1.select(["html"]).slice(0, 1)["html"],
+            "text": t1.select(["text"]).slice(0, 1)["text"],
+            "lang": pa.array(["en"], pa.string()),
+        }
+    )
+    pq.write_table(
+        pa.concat_tables([t1, winner_row.cast(t1.schema)]), paths[1]
+    )
+
+    out = str(tmp_path_factory.mktemp("dup_idx"))
+    build_index(paths, BuildConfig(out_dir=out))
+    eng_before = QueryEngine(out)
+    stats_before = dict(n=eng_before.stats.n_docs, avg=eng_before.stats.avgdl)
+    queries = generate_queries()
+    before = {
+        (q, int(k)): eng_before.search_scores(q, int(k))
+        for q, k in zip(queries["query"].to_pylist(), queries["k"].to_pylist())
+    }
+
+    new_stats = compact(out)  # no tombstones: must be a semantic no-op
+    assert new_stats["n_docs"] == stats_before["n"]
+    assert new_stats["avgdl"] == pytest.approx(stats_before["avg"])
+    eng_after = QueryEngine(out)
+    for (q, k), (d_b, s_b) in before.items():
+        d_a, s_a = eng_after.search_scores(q, k)
+        assert d_a.tolist() == d_b.tolist(), q
+        assert np.allclose(s_a, s_b, atol=1e-12), q

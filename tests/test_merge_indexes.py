@@ -71,3 +71,47 @@ def test_union_rejects_mixed_tokenizers(ray_session, tmp_path_factory):
     build_index(paths, BuildConfig(out_dir=i2, tokenizer="regex", vocab_path=None))
     with pytest.raises(ValueError, match="tokenizers"):
         merge_indexes(i1, i2, str(tmp_path_factory.mktemp("idx_bad")))
+
+
+def test_union_shared_docs_and_tombstones(ray_session, tmp_path_factory):
+    """Indexes sharing a corpus file: the union must count each distinct
+    doc_id once in n_docs/total_postings; tombstones of either input carry
+    into the merged index and keep masking results."""
+    import pyarrow.parquet as pq
+
+    from pears_lite_ray.index.build import build_index
+    from pears_lite_ray.index.maintenance import delete_urls, load_tombstones
+    from pears_lite_ray.index.merge import merge_indexes
+    from pears_lite_ray.query.engine import QueryEngine
+    from pears_lite_ray.sources.fixtures import HOT_TERM, write_corpus
+    from pears_lite_ray.stages.extract import url_doc_id
+
+    corpus = str(tmp_path_factory.mktemp("shared_corpus"))
+    paths = write_corpus(corpus, 150, n_files=3, seed=404)
+    f1, f2, f3 = paths
+
+    ia = str(tmp_path_factory.mktemp("sidx_a"))
+    ib = str(tmp_path_factory.mktemp("sidx_b"))
+    ij = str(tmp_path_factory.mktemp("sidx_joint"))
+    im = str(tmp_path_factory.mktemp("sidx_merged"))
+    build_index([f1, f2], BuildConfig(out_dir=ia))
+    build_index([f2, f3], BuildConfig(out_dir=ib))
+    build_index([f1, f2, f3], BuildConfig(out_dir=ij))
+
+    # tombstone one hot doc in index A before the merge
+    eng_a = QueryEngine(ia)
+    victim_url = eng_a.search(HOT_TERM, 1)["url"][0].as_py()
+    victim_id = url_doc_id(victim_url)
+    delete_urls(ia, [victim_url])
+
+    stats = merge_indexes(ia, ib, im)
+    joint = QueryEngine(ij)
+    # shared f2 docs counted once (f2 rows are identical in both indexes)
+    assert stats["n_docs"] == joint.stats.n_docs
+    assert stats["avgdl"] == pytest.approx(joint.stats.avgdl)
+
+    # tombstones carried: deleted doc never surfaces from the merged index
+    assert victim_id in set(load_tombstones(im).tolist())
+    merged = QueryEngine(im)
+    docs, _ = merged.search_scores(HOT_TERM, 50)
+    assert victim_id not in set(docs.tolist())
