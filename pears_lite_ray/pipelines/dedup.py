@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Min
 
 from .common import (
     SQL_TOKENS,
@@ -82,6 +82,17 @@ def _shingle_hashes(words: list[str], n: int = JACCARD_NGRAM) -> np.ndarray:
     return np.unique(hs)
 
 
+PAIR_BUCKETS = 64
+
+
+def pair_buckets(a: np.ndarray, b: np.ndarray, n: int = PAIR_BUCKETS) -> np.ndarray:
+    """Deterministic bucket id per (a, b) pair — both occurrences of a pair
+    hash to the same bucket, so a bucket-group combine is exact."""
+    with np.errstate(over="ignore"):
+        h = (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ b.astype(np.uint64)
+    return (h % np.uint64(n)).astype(np.int32)
+
+
 # -- exact dedup -------------------------------------------------------------
 
 def q_exact_dedup(sf_dir: str):
@@ -125,8 +136,16 @@ def q_jaccard_pairs(sf_dir: str):
     distinct-shingle sets. Pair generation via the shingle inverted index
     (groupby shingle-hash → within-group pairs); each exploded row carries
     its doc's distinct-set size, so intersection counts AND set sizes come
-    out of one small pair-key aggregate — no cross join, no second pass
-    over the corpus, no driver lookup table."""
+    out of the pair combine — no cross join, no second pass over the
+    corpus, no driver lookup table.
+
+    The pair combine is a BUCKETED groupby: pair rows carry a
+    ``hash(pair) % N`` bucket column, the groupby runs over N buckets and
+    each group collapses its pairs with one vectorized sort+reduceat.
+    Ray's built-in ``aggregate`` costs ~15 µs of per-group overhead — at
+    ~1M pair groups that was 17 s of the round-1 pipeline; N=64 buckets
+    make the grouping overhead negligible while the combine stays exact
+    (every row of a pair shares its bucket by construction)."""
 
     def explode(batch: pa.Table) -> pa.Table:
         toks, _ = tokens_per_row(batch)
@@ -154,48 +173,51 @@ def q_jaccard_pairs(sf_dir: str):
         order = np.argsort(docs)
         docs, nsh = docs[order], nsh[order]
         if docs.size < 2 or docs.size > HOT_SHINGLE_CAP:
-            return pa.table({"doc_a": pa.array([], pa.int64()),
+            return pa.table({"bucket": pa.array([], pa.int32()),
+                             "doc_a": pa.array([], pa.int64()),
                              "doc_b": pa.array([], pa.int64()),
-                             "c": pa.array([], pa.int64()),
                              "na": pa.array([], pa.int64()),
                              "nb": pa.array([], pa.int64())})
         ia, ib = np.triu_indices(docs.size, k=1)
+        a, b = docs[ia], docs[ib]
         return pa.table(
             {
-                "doc_a": pa.array(docs[ia], pa.int64()),
-                "doc_b": pa.array(docs[ib], pa.int64()),
-                "c": pa.array(np.ones(ia.size, dtype=np.int64), pa.int64()),
+                "bucket": pa.array(pair_buckets(a, b), pa.int32()),
+                "doc_a": pa.array(a, pa.int64()),
+                "doc_b": pa.array(b, pa.int64()),
                 "na": pa.array(nsh[ia], pa.int64()),
                 "nb": pa.array(nsh[ib], pa.int64()),
             }
         )
 
-    inter = (
-        shingle_docs.groupby("shingle")
-        .map_groups(pairs_of_group, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(
-            Sum("c", alias_name="inter"),
-            Min("na", alias_name="na"),
-            Min("nb", alias_name="nb"),
-        )
-    )
-
-    def jaccard(batch: pa.Table) -> pa.Table:
-        inter_n = batch["inter"].to_numpy().astype(np.float64)
-        sa = batch["na"].to_numpy().astype(np.float64)
-        sb = batch["nb"].to_numpy().astype(np.float64)
-        jac = round6(inter_n / (sa + sb - inter_n))
+    def combine(group: pa.Table) -> pa.Table:
+        a = group["doc_a"].to_numpy()
+        b = group["doc_b"].to_numpy()
+        na = group["na"].to_numpy()
+        nb = group["nb"].to_numpy()
+        order = np.lexsort((b, a))
+        a, b, na, nb = a[order], b[order], na[order], nb[order]
+        first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        idx = np.nonzero(first)[0]
+        inter = np.diff(np.r_[idx, a.size]).astype(np.float64)
+        sa = na[first].astype(np.float64)
+        sb = nb[first].astype(np.float64)
+        jac = round6(inter / (sa + sb - inter))
         return pa.table(
             {
-                "doc_a": batch["doc_a"],
-                "doc_b": batch["doc_b"],
-                "inter": batch["inter"],
+                "doc_a": pa.array(a[first], pa.int64()),
+                "doc_b": pa.array(b[first], pa.int64()),
+                "inter": pa.array(inter.astype(np.int64), pa.int64()),
                 "jaccard": pa.array(jac, pa.float64()),
             }
         )
 
-    return inter.map_batches(jaccard, batch_format="pyarrow")
+    return (
+        shingle_docs.groupby("shingle")
+        .map_groups(pairs_of_group, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pyarrow")
+    )
 
 
 # -- MinHash + LSH -----------------------------------------------------------
@@ -214,43 +236,53 @@ def _minhash_matrix(shingles: np.ndarray) -> np.ndarray:
 
 
 class MinHashStage:
-    """Actor-pool stage: text → 64 minhashes + band keys (state = the fixed
-    permutation coefficients, built once per actor). Fully batched: one
-    (perms × shingles) hash matrix per batch, segmented min per doc
-    (np.minimum.reduceat), vectorized FNV fold for band keys."""
+    """Actor-pool stage: text → 64 minhashes + band keys + the packed
+    shingle-set blob (state = the fixed permutation coefficients, built
+    once per actor). Fully batched: one (perms × shingles) hash matrix per
+    batch, segmented min per doc (np.minimum.reduceat), vectorized FNV
+    fold for band keys.
+
+    ONE corpus pass feeds both LSH banding and exact-Jaccard verification:
+    per doc the stage emits MINHASH_BANDS band rows (shset empty) plus one
+    ``band = -1`` row carrying the sorted distinct shingle hashes as an
+    8-byte-per-hash binary blob. The caller materializes the output once
+    and splits it with two filters."""
 
     def __init__(self):
         rng = np.random.RandomState(1234)
         self.a = rng.randint(1, (1 << 61) - 1, size=MINHASH_PERMS).astype(np.uint64) | np.uint64(1)
         self.b = rng.randint(0, (1 << 61) - 1, size=MINHASH_PERMS).astype(np.uint64)
 
-    def signatures(self, toks: list[list[str]]) -> np.ndarray:
-        """(n_rows, MINHASH_PERMS) int64 signature matrix for a batch."""
+    def signatures(self, toks: list[list[str]]) -> tuple[np.ndarray, list[bytes]]:
+        """((n_rows, MINHASH_PERMS) int64 signatures, per-row shingle-set
+        blobs)."""
         n_rows = len(toks)
         sigs = np.full((n_rows, MINHASH_PERMS), np.iinfo(np.int64).max,
                        dtype=np.int64)
+        blobs = [b""] * n_rows
         rows, hs = shingle_stream(toks, JACCARD_NGRAM)
         r, v, _ = distinct_per_row(rows, hs)
         if r.size == 0:
-            return sigs
+            return sigs, blobs
+        starts = np.r_[0, np.nonzero(r[1:] != r[:-1])[0] + 1]
+        ends = np.r_[starts[1:], r.size]
+        for s_, e_, row in zip(starts, ends, r[starts]):
+            blobs[row] = v[s_:e_].tobytes()
         x = v.astype(np.uint64) % _MERSENNE
         prod = (self.a[:, None] * x[None, :] + self.b[:, None]) % _MERSENNE
-        # segment boundaries of each doc's shingle run (r is row-sorted)
-        starts = np.r_[0, np.nonzero(r[1:] != r[:-1])[0] + 1]
         mins = np.minimum.reduceat(prod, starts, axis=1)  # (perms, docs)
         sigs[r[starts]] = mins.T.astype(np.int64)
-        return sigs
+        return sigs, blobs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .common import FNV_BASIS, FNV_PRIME
 
         toks, _ = tokens_per_row(batch)
         ids = batch["doc_id"].to_numpy()
-        sigs = self.signatures(toks).astype(np.uint64)  # (n, perms)
+        sigs, blobs = self.signatures(toks)
+        sigs = sigs.astype(np.uint64)
         rpb = MINHASH_PERMS // MINHASH_BANDS
         n = ids.size
-        doc_col = np.repeat(ids, MINHASH_BANDS)
-        band_col = np.tile(np.arange(MINHASH_BANDS, dtype=np.int32), n)
         # band key: FNV-style fold over the band's rpb signature values
         # (vectorized over (n, bands); replaces the per-doc blake2b calls)
         keys = np.full((n, MINHASH_BANDS), FNV_BASIS, dtype=np.uint64)
@@ -259,76 +291,77 @@ class MinHashStage:
                 col = sigs[:, j::rpb]  # (n, bands): value j of each band
                 keys = (keys ^ col) * FNV_PRIME
         keys &= np.uint64((1 << 63) - 1)
+        doc_col = np.concatenate([np.repeat(ids, MINHASH_BANDS), ids])
+        band_col = np.concatenate([
+            np.tile(np.arange(MINHASH_BANDS, dtype=np.int32), n),
+            np.full(n, -1, dtype=np.int32),
+        ])
+        key_col = np.concatenate([
+            keys.reshape(-1).astype(np.int64), np.zeros(n, dtype=np.int64)
+        ])
+        blob_col = [b""] * (n * MINHASH_BANDS) + blobs
         return pa.table(
             {
                 "doc_id": pa.array(doc_col, pa.int64()),
                 "band": pa.array(band_col, pa.int32()),
-                "band_key": pa.array(keys.reshape(-1).astype(np.int64), pa.int64()),
+                "band_key": pa.array(key_col, pa.int64()),
+                "shset": pa.array(blob_col, pa.binary()),
             }
         )
-
-
-def _shingle_set_table(sf_dir: str):
-    """(doc_id, shingle-set) dataset; sets packed as binary blobs (sorted
-    distinct uint64 hashes, tobytes) so the equi-join below stays within
-    pyarrow's supported join payload types."""
-
-    def pack(batch: pa.Table) -> pa.Table:
-        toks, _ = tokens_per_row(batch)
-        ids = batch["doc_id"].to_numpy()
-        rows, hs = shingle_stream(toks, JACCARD_NGRAM)
-        r, v, _ = distinct_per_row(rows, hs)
-        counts = np.zeros(len(toks), dtype=np.int64)
-        if r.size:
-            np.add.at(counts, r, 1)
-        offs = np.r_[0, np.cumsum(counts)]
-        blobs = [v[offs[i]:offs[i + 1]].tobytes() for i in range(len(toks))]
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, pa.int64()),
-                "shset": pa.array(blobs, pa.binary()),
-            }
-        )
-
-    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
-        pack, batch_format="pyarrow"
-    )
 
 
 def q_minhash_lsh(sf_dir: str):
     """LSH candidate pairs (same band signature in any band), verified with
-    exact shingle Jaccard — all stages distributed: bucket groupby →
-    pair-key groupby (cross-band dedup) → two equi-joins against the
-    shingle-set table → per-row exact Jaccard. Rows-only driver check
-    (hash permutations are not SQL-expressible)."""
+    exact shingle Jaccard — all stages distributed, ONE pass over the
+    corpus: the banding stage also emits each doc's shingle-set blob; the
+    materialized stage output splits into bands and sets, candidate pairs
+    deduplicate with the bucketed-combine pattern (see q_jaccard_pairs),
+    and two equi-joins attach both sets for the exact per-pair verify.
+    Rows-only driver check (hash permutations are not SQL-expressible)."""
     tune_shuffle_admission()
 
-    bands = read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+    media = read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
         MinHashStage, batch_format="pyarrow", concurrency=pool(), num_cpus=1
-    )
+    ).materialize()
+    bands = media.filter(expr="band >= 0").drop_columns(["shset"])
+    sets = media.filter(expr="band == -1").select_columns(["doc_id", "shset"])
 
     def pairs_of_bucket(group: pa.Table) -> pa.Table:
         docs = np.unique(np.asarray(group["doc_id"].to_numpy(), dtype=np.int64))
         if docs.size < 2 or docs.size > HOT_SHINGLE_CAP:
-            return pa.table({"doc_a": pa.array([], pa.int64()),
+            return pa.table({"bucket": pa.array([], pa.int32()),
+                             "doc_a": pa.array([], pa.int64()),
                              "doc_b": pa.array([], pa.int64())})
         ia, ib = np.triu_indices(docs.size, k=1)
+        a, b = docs[ia], docs[ib]
         return pa.table(
             {
-                "doc_a": pa.array(docs[ia], pa.int64()),
-                "doc_b": pa.array(docs[ib], pa.int64()),
+                "bucket": pa.array(pair_buckets(a, b), pa.int32()),
+                "doc_a": pa.array(a, pa.int64()),
+                "doc_b": pa.array(b, pa.int64()),
             }
         )
 
-    cand = _scrub(
+    def dedupe(group: pa.Table) -> pa.Table:
+        a = group["doc_a"].to_numpy()
+        b = group["doc_b"].to_numpy()
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        return pa.table(
+            {
+                "doc_a": pa.array(a[first], pa.int64()),
+                "doc_b": pa.array(b[first], pa.int64()),
+            }
+        )
+
+    cand = (
         bands.groupby(["band", "band_key"])
         .map_groups(pairs_of_bucket, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="nbands"))
-        .drop_columns(["nbands"])
+        .groupby("bucket")
+        .map_groups(dedupe, batch_format="pyarrow")
     )
 
-    sets = _shingle_set_table(sf_dir)
     joined = cand.join(
         sets, join_type="inner", num_partitions=JOIN_PARTITIONS,
         on=("doc_a",), right_on=("doc_id",),

@@ -145,23 +145,40 @@ class QueryEngine:
             word_groups = [[t] for t in dict.fromkeys(ids)]
         # snippet component needs title+snippet for candidate docs: one
         # evaluator decodes postings/positions once, yields the candidate
-        # set, then rescoring with metadata reuses the decoded state.
+        # set, then rescoring with metadata reuses the decoded state. The
+        # metadata join + snippet overlap is bound-pruned: with the snippet
+        # component ≤ SNIPPET_BOUND, any candidate whose base (posix +
+        # completeness) + bound falls below the kth-best base can never
+        # reach the top k — so the per-doc metadata/overlap cost is paid
+        # for a few hundred docs, not every 0.3-completeness candidate.
         if not word_groups:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         ev = pears.PearsEvaluator(word_groups, rows_by_id)
         if ev.candidates.size == 0:
             return np.empty(0, np.int64), np.empty(0, np.float64)
-        meta_tbl = self.docs.lookup(ev.candidates)
+        alive = (
+            ~np.isin(ev.candidates, self.tombstones)
+            if self.tombstones.size else np.ones(ev.candidates.size, dtype=bool)
+        )
+        mask = alive.copy()
+        base = ev.base_scores()
+        n_alive = int(alive.sum())
+        if n_alive > k:
+            ab = base[alive]
+            kth = np.partition(ab, ab.size - k)[ab.size - k]
+            mask &= (base + pears.SNIPPET_BOUND) >= kth
+        cand = ev.candidates[mask]
+        if cand.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        meta_tbl = self.docs.lookup(cand)
         meta = {
             int(r["doc_id"]): (r["title"] or "", r["snippet"] or "")
             for r in meta_tbl.to_pylist()
         }
-        full = ev.scores(q, doc_meta=meta)
+        full = ev.scores(q, doc_meta=meta, mask=mask)
         doc_ids = np.array(sorted(full), dtype=np.int64)
         scores = np.array([full[int(d)] for d in doc_ids], dtype=np.float64)
         keep = scores > 0  # bestURLs keeps positive scores only (K1)
-        if self.tombstones.size:
-            keep &= ~np.isin(doc_ids, self.tombstones)
         return bm25.topk_select(doc_ids[keep], scores[keep], k)
 
     # -- full search with metadata join (J1) --------------------------------

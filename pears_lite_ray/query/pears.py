@@ -33,6 +33,11 @@ from .. import codec
 
 _PUNCT_TABLE = str.maketrans({c: " " for c in string.punctuation})
 
+# Max contribution of the snippet component to a fused score: overlap ≤ 1.0
+# plus the +1.0 exact-overlap bonus (score_pages.py:104-107). Bound used
+# for candidate pruning before the metadata join.
+SNIPPET_BOUND = 2.0
+
 
 def generic_overlap(q: str, s: str) -> float:
     """Word-set overlap / |query words| (overlap_calculation.py:31-40)."""
@@ -222,16 +227,29 @@ class PearsEvaluator:
                 word_ok[g, c] = 1.0 if matched else 0.0
         return word_ok.mean(axis=0)
 
-    def scores(
-        self, query: str, doc_meta: "dict[int, tuple[str, str]] | None"
-    ) -> dict[int, float]:
-        """Fused score per candidate doc; ``doc_meta=None`` skips the
-        snippet component (used by the candidate pass)."""
+    def base_scores(self) -> np.ndarray:
+        """posix + completeness per candidate (everything except the
+        snippet component), vectorized. The snippet component is bounded
+        by SNIPPET_BOUND, so callers can top-k-prune on base scores before
+        paying the per-candidate metadata/overlap cost."""
         s = self.cand_completeness.copy()
         s[self._conj_mask] += self._posix
+        return s
+
+    def scores(
+        self,
+        query: str,
+        doc_meta: "dict[int, tuple[str, str]] | None",
+        mask: np.ndarray | None = None,
+    ) -> dict[int, float]:
+        """Fused score per candidate doc; ``doc_meta=None`` skips the
+        snippet component (used by the candidate pass). ``mask`` restricts
+        scoring to a candidate subset (bound-based pruning)."""
+        s = self.base_scores()
         out: dict[int, float] = {}
-        for i, d in enumerate(self.candidates):
-            d = int(d)
+        idx = np.nonzero(mask)[0] if mask is not None else range(self.candidates.size)
+        for i in idx:
+            d = int(self.candidates[i])
             v = float(s[i])
             if doc_meta is not None:
                 title, snippet = doc_meta.get(d, ("", ""))

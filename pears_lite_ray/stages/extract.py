@@ -78,7 +78,7 @@ class ExtractStage:
         ts = batch["warc_ts"].to_pylist()
         keep_url, keep_ts, titles, snippets, langs, texts = [], [], [], [], [], []
         for u, h, t in zip(urls, htmls, ts):
-            rec = extract_record(h, self.languages)
+            rec = extract_record(h, self.languages, url=u)
             if not rec["ok"]:
                 continue
             keep_url.append(u)

@@ -266,17 +266,46 @@ def remove_boilerplates(html: str, lang: str = "en", **params) -> str:
     return "".join(out)
 
 
+def extract_pdf_record(
+    payload: bytes,
+    installed_languages: tuple[str, ...] = ("en",),
+    url: str = "",
+) -> dict:
+    """PDF branch (M3 — reference extract_txt, pdfparser.py:32-70):
+    body = mined text, title = url basename, snippet = body[:300] (the
+    PDF path does NOT do the html path's comma replacement), same
+    language gate. An empty mine → language '' → rejected, matching the
+    reference's empty-body error return."""
+    from .pdf import pdf_text
+
+    body = pdf_text(payload)
+    title = url.split("/")[-1]
+    language = detect_language(body)
+    if language not in installed_languages:
+        return {"title": "", "body": body, "text": "", "snippet": "",
+                "lang": language, "ok": False,
+                "error": "language-not-supported"}
+    snippet = body[:300]
+    return {"title": title, "body": body, "text": title + " " + body,
+            "snippet": snippet, "lang": language, "ok": True, "error": ""}
+
+
 def extract_record(
     html_bytes: bytes,
     installed_languages: tuple[str, ...] = ("en",),
+    url: str = "",
 ) -> dict:
     """Full extraction for one page (reference: extract_html,
     htmlparser.py:78-110 + text join mk_page_vector.py:50).
 
     Returns ``title, body, text, snippet, lang, ok, error``; on a rejected
     page (no title tag object / unsupported language) ``ok`` is False and
-    ``text`` is "" — the reference skips such documents.
+    ``text`` is "" — the reference skips such documents. PDF payloads
+    (``%PDF-`` magic) take the pdfparser branch, as the reference's
+    content-type dispatch does (indexer controllers → extract_txt).
     """
+    if html_bytes[:5] == b"%PDF-":
+        return extract_pdf_record(html_bytes, installed_languages, url)
     html = html_bytes.decode("utf-8", errors="replace")
     title_raw, paragraphs = segment_paragraphs(html)
     if title_raw is None:
