@@ -138,9 +138,14 @@ class PodRouter:
         ids = docs["doc_id"].to_numpy()
         order = np.argsort(ids)
         self.doc_ids = ids[order]
+        # a pod can be absent from the pods table while its (tombstoned)
+        # docs still sit in staging (delete_pod before compaction): code -1
+        # never matches an allow-mask, so those docs are excluded
         codes = {p: i for i, p in enumerate(self.names)}
         pod_col = docs["pod"].to_pylist()
-        self.doc_pod = np.array([codes[pod_col[i]] for i in order], dtype=np.int32)
+        self.doc_pod = np.array(
+            [codes.get(pod_col[i], -1) for i in order], dtype=np.int32
+        )
 
     def route(self, query_term_ids: np.ndarray, top: int = ROUTE_TOP,
               floor: float = ROUTE_FLOOR) -> list[str]:
@@ -167,5 +172,6 @@ class PodRouter:
         j = np.clip(j, 0, self.doc_ids.size - 1)
         found = self.doc_ids[j] == doc_ids
         out = np.zeros(doc_ids.size, dtype=bool)
-        out[found] = allow[self.doc_pod[j[found]]]
+        codes = self.doc_pod[j[found]]
+        out[found] = np.where(codes >= 0, allow[codes], False)
         return out

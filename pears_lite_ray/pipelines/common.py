@@ -65,12 +65,24 @@ def embeddings_path(sf_dir: str) -> str:
     return os.path.join(sf_dir, "embeddings.parquet")
 
 
+def strip_schema_metadata(batch: pa.Table) -> pa.Table:
+    """Drop schema-level metadata (e.g. the b'pandas' blob the testdata
+    parquet carries): pyarrow 16 schemas WITH metadata are unhashable, and
+    every Ray sort-reduce concat over such blocks logs "Failed to hash the
+    schemas" — the spam that drowned round-1's bench logs."""
+    return batch.replace_schema_metadata(None)
+
+
 def read_documents(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(documents_path(sf_dir), columns=columns)
+    return rd.read_parquet(documents_path(sf_dir), columns=columns).map_batches(
+        strip_schema_metadata, batch_format="pyarrow"
+    )
 
 
 def read_embeddings(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(embeddings_path(sf_dir), columns=columns)
+    return rd.read_parquet(embeddings_path(sf_dir), columns=columns).map_batches(
+        strip_schema_metadata, batch_format="pyarrow"
+    )
 
 
 def tokenize_words(text: str) -> list[str]:

@@ -355,7 +355,9 @@ def q_minhash_lsh(sf_dir: str):
             }
         )
 
-    cand = (
+    # _scrub: a sort-groupby whose partitions hold no groups emits
+    # schema-less empty blocks too (tiny corpora), which the join rejects
+    cand = _scrub(
         bands.groupby(["band", "band_key"])
         .map_groups(pairs_of_bucket, batch_format="pyarrow")
         .groupby("bucket")

@@ -43,7 +43,10 @@ def q_windowed_events(sf_dir: str):
             .agg(cnt=("value", "size"), sv=("value", "sum"))
             .reset_index()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # strip the b'pandas' schema metadata: pyarrow 16 schemas WITH
+        # metadata are unhashable, and Ray's sort-reduce concat then logs
+        # "Failed to hash the schemas" on every reduce task
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     def finalize(group: pa.Table) -> pa.Table:
         g = group.to_pandas()
@@ -92,8 +95,11 @@ def q_user_sessions(sf_dir: str):
             }
         )
 
+    from .common import strip_schema_metadata
+
     return (
         rd.read_parquet(events_path(sf_dir), columns=["ts", "user_id"])
+        .map_batches(strip_schema_metadata, batch_format="pyarrow")
         .groupby("user_id")
         .map_groups(sessions, batch_format="pyarrow")
     )

@@ -91,6 +91,14 @@ class QueryEngine:
         _, _, _, ids = self._prep(query)
         return self.pod_router.route(np.array(ids, dtype=np.int64), top, floor)
 
+    def find_pods(self, query: str, top: int = 10) -> list[str]:
+        """Pod-finder scoring (Q12): top-10 pods by centroid cosine, no
+        all-pods fallback (the reference's pod_finder ranks candidate pods
+        to subscribe to rather than routing a search)."""
+        _, _, _, ids = self._prep(query)
+        return self.pod_router.route(np.array(ids, dtype=np.int64), top,
+                                     floor=-1.0)
+
     # -- scoring ------------------------------------------------------------
     def search_scores(self, query: str, k: int = DEFAULT_TOP_K,
                       conjunctive: bool = False, use_wand: bool = False,
@@ -211,6 +219,20 @@ class QueryEngine:
             "doctype": [lut.get(int(d), {}).get("doctype", "") for d in doc_ids],
         }
         return pa.table(rows, schema=RESULT_SCHEMA)
+
+
+    def search_aggregated(self, query: str, k: int = DEFAULT_TOP_K, **kw):
+        """Search + CSV hit aggregation (K4: score_pages.py:136-155):
+        returns ``(results_table, csvs)`` where CSV-sourced hits are
+        removed from the table and collapsed per source file into
+        ``[csv_name, first_hit_url, row_indices]`` in first-hit order."""
+        from .aggregate import aggregate_csv
+
+        res = self.search(query, k, **kw)
+        urls = res["url"].to_pylist()
+        plain_urls, csvs = aggregate_csv(urls)
+        keep = np.array([u in set(plain_urls) for u in urls], dtype=bool)
+        return res.filter(pa.array(keep)), csvs
 
 
 class BatchQueryStage:

@@ -53,7 +53,18 @@ def _iter_streams(payload: bytes):
         # the object dictionary sits between the last '<<' run and 'stream'
         head = payload.rfind(b"<<", 0, m.start())
         dict_bytes = payload[head:m.start()] if head >= 0 else b""
-        yield dict_bytes, payload[start:end].rstrip(b"\r\n")
+        raw = payload[start:end]
+        # the EOL before 'endstream' is markup, not stream data — but a
+        # compressed stream may legitimately END with 0x0A/0x0D, so prefer
+        # the declared /Length and only then strip one EOL
+        lm = re.search(rb"/Length\s+(\d+)", dict_bytes)
+        if lm and int(lm.group(1)) <= len(raw):
+            raw = raw[: int(lm.group(1))]
+        elif raw.endswith(b"\r\n"):
+            raw = raw[:-2]
+        elif raw.endswith((b"\n", b"\r")):
+            raw = raw[:-1]
+        yield dict_bytes, raw
         pos = end + len(b"endstream")
 
 

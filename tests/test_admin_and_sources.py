@@ -203,3 +203,47 @@ def test_export_pod_lines(admin_index, tmp_path):
     for ln in lines[:5]:
         u, p, _lang = ln.split(";")
         assert p == pod and u in urls
+
+
+def test_search_aggregated_csv_flow(ray_session, tmp_path):
+    """CSV source → index → search_aggregated collapses spreadsheet hits
+    (K4 end-to-end: csvdocs → build → bestURLs → aggregate_csv)."""
+    import pyarrow.parquet as pq
+
+    from pears_lite_ray.index.build import build_index
+    from pears_lite_ray.query.engine import QueryEngine
+
+    csv_path = tmp_path / "fruit.csv"
+    rows = ["name;color;taste"]
+    for i, (n, c, t) in enumerate(
+        [("apple", "red", "sweet"), ("lime", "green", "sour"),
+         ("plum", "purple", "sweet"), ("kiwi", "green", "tart")]
+    ):
+        rows.append(f"{n};{c};{t}")
+    csv_path.write_text("\n".join(rows) + "\n")
+
+    from pears_lite_ray.sources.csvdocs import csv_to_docs
+
+    src = tmp_path / "csv_docs.parquet"
+    pq.write_table(csv_to_docs(str(csv_path)), str(src))
+    out = str(tmp_path / "csv_idx")
+    build_index([str(src)], BuildConfig(out_dir=out, tokenizer="regex",
+                                        vocab_path=None))
+    eng = QueryEngine(out)
+    res, csvs = eng.search_aggregated("green", 10)
+    assert res.num_rows == 0                     # every hit was a CSV row
+    assert len(csvs) == 1
+    name, first_url, row_ids = csvs[0]
+    assert name == "fruit.csv"
+    assert first_url.startswith("fruit.csv#Fruit: ")
+    assert sorted(row_ids) == ["1", "3"]         # lime [1], kiwi [3]
+
+
+def test_find_pods_top10(admin_index):
+    from pears_lite_ray.query.engine import QueryEngine
+    from pears_lite_ray.sources.fixtures import HOT_TERM
+
+    eng = QueryEngine(admin_index)
+    pods = eng.find_pods(HOT_TERM, top=10)
+    assert 0 < len(pods) <= 10
+    assert len(set(pods)) == len(pods)
