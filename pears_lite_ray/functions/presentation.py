@@ -61,3 +61,48 @@ def cc_flags_batch(batch: pa.Table) -> pa.Table:
         dtype=bool, count=len(batch),
     )
     return batch.append_column("is_cc", pa.array(flags, pa.bool_()))
+
+
+def assemble_csv_table(csv_path: str, rows: list, doctype: str) -> str:
+    """K5 (score_pages.py:160-183): render the hit rows of a spreadsheet
+    as the reference's striped HTML table — header row from the CSV
+    columns, first 10 hit rows, and for doctype 'map' a leading
+    OpenStreetMap pin column built from the first two cells (lat/lon).
+
+    Presentation-layer parity: the markup (classes, inline styles, the
+    JS/noscript pin link) matches the reference so a UI drop-in renders
+    identically; rows are the string indices aggregate_csv produced."""
+    from ..sources.csvdocs import read_csv_table
+
+    t = read_csv_table(csv_path)
+    cols = t.column_names
+    cells = [t[c].to_pylist() for c in cols]
+    table = "<table class='table table-striped w-100'><thead><tr>"
+    if doctype == "map":
+        table += ("<th scope='col' style='word-wrap:break-word; "
+                  "max-width:500px'>www</th>")
+    for c in cols:
+        table += ("<th scope='col' style='word-wrap:break-word; "
+                  "max-width:500px'>" + c + "</th>")
+    table += "</tr></thead>"
+    for ridx in [int(r) for r in rows][:10]:
+        r = [cells[c][ridx] for c in range(len(cols))]
+        table += "<tr class='w-100'>"
+        if doctype == "map":
+            link = ("https://www.openstreetmap.org/#map=19/"
+                    + str(r[0]) + "/" + str(r[1]))
+            table += (
+                """<td><a href="#" onClick="console.log('""" + link
+                + """'); window.open('""" + link
+                + """', 'pagename', 'resizable,height=560,width=560,"""
+                + """top=200,left=800');return false;">📍</a>"""
+                + """<noscript>You need Javascript to use the previous """
+                + """link or use <a href='""" + link
+                + """' target="_blank">📍</a></noscript></td>"""
+            )
+        for cell in r:
+            table += ("<td style='word-wrap:break-word; max-width:500px'>"
+                      + str(cell) + "</td>")
+        table += "</tr>"
+    table += "</table>"
+    return table

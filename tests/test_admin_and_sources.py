@@ -247,3 +247,61 @@ def test_find_pods_top10(admin_index):
     pods = eng.find_pods(HOT_TERM, top=10)
     assert 0 < len(pods) <= 10
     assert len(set(pods)) == len(pods)
+
+
+# -- M18 / K5 / Q6-Q8 small kernels -------------------------------------------
+
+def test_extract_links_reference_semantics():
+    from pears_lite_ray.text.links import extract_links
+
+    html = (
+        '<a href="https://abs.example/page">x</a>'
+        "<a href='/rel/path'>y</a>"
+        '<a href="https://abs.example/page#frag">z</a>'
+        '<a href=bare.html>w</a>'
+    )
+    out = extract_links(html, "https://base.example/dir/cur.html")
+    assert out == [
+        "https://abs.example/page",                  # absolute, no fragment
+        "https://base.example/rel/path",             # urljoin'd
+        "https://abs.example/page#frag",             # fragment → re-joined
+        "https://base.example/dir/bare.html",        # unquoted attr
+    ]
+
+
+def test_overlap_kernels():
+    import numpy as np
+
+    from pears_lite_ray.functions.overlap import (
+        cosine_similarity,
+        dice_overlap,
+        score_url_overlap,
+    )
+
+    # Q6: character-set dice over the url's last path element
+    assert score_url_overlap("abc", "https://x.example/path/cab/") == 1.0
+    assert score_url_overlap("zzz", "https://x.example/abc") == 0.0
+    # Q7: word-set dice, punctuation removed
+    assert dice_overlap("the quick, fox!", "quick fox runs") == \
+        2 * 2 / (3 + 3)
+    # Q8: cosine with length-mismatch guard
+    assert cosine_similarity(np.array([1.0, 0.0]), np.array([1.0])) == 0.0
+    assert cosine_similarity(np.array([1.0, 0.0]), np.array([2.0, 0.0])) == 1.0
+
+
+def test_assemble_csv_table(tmp_path):
+    from pears_lite_ray.functions.presentation import assemble_csv_table
+
+    p = tmp_path / "stock.csv"
+    p.write_text("name;qty\napple;3\nlime;5\nplum;7\n")
+    html = assemble_csv_table(str(p), ["0", "2"], "csv")
+    assert html.startswith("<table class='table table-striped w-100'>")
+    assert ">name</th>" in html and ">qty</th>" in html
+    assert ">apple</td>" in html and ">plum</td>" in html
+    assert ">lime</td>" not in html                  # row 1 not selected
+    # map doctype adds the pin column from (lat, lon)
+    p2 = tmp_path / "spots.csv"
+    p2.write_text("lat;lon;name\n48.1;11.5;muc\n")
+    html2 = assemble_csv_table(str(p2), ["0"], "map")
+    assert "openstreetmap.org/#map=19/48.1/11.5" in html2
+    assert ">www</th>" in html2
