@@ -29,6 +29,8 @@ Large-scale-training-pipeline staples, each in its scalable Ray Data shape
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 from ray.data.aggregate import Min
@@ -53,11 +55,32 @@ MINHASH_BANDS = 8  # 8 rows per band
 # At scale: a shingle shared by more than this many docs is dropped from
 # pair generation (it only produces near-universal boilerplate pairs).
 HOT_SHINGLE_CAP = 1000
-# Partition count for the equi-joins below. Sized for the sandbox; at
-# cluster scale this is the one knob to raise (partitions ≈ cores).
+# Floor for the equi-join partition count; joins size themselves from the
+# input data (see join_partitions) because each partition costs a standing
+# aggregator actor — measured: a 256-row candidate join takes 3.7 s at 2
+# partitions and 6.8 s at 8 (fixed per-aggregator cost dominates small
+# joins), while corpus-sized joins need partitions ∝ bytes.
 JOIN_PARTITIONS = 8
+_JOIN_PARTITION_BYTES = 64 << 20  # one join partition per 64 MiB of input
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def join_partitions(sf_dir: str) -> int:
+    """Data-sized partition count for corpus-keyed equi-joins: one
+    partition per 64 MiB of the documents table, clamped to
+    [JOIN_PARTITIONS, 4 × cluster CPUs] — same sizing rule as the build's
+    shuffle partitioning (index/build.py _meta_blocks)."""
+    import ray
+
+    from .common import documents_path
+
+    try:
+        by_size = os.path.getsize(documents_path(sf_dir)) // _JOIN_PARTITION_BYTES
+    except OSError:
+        by_size = 0
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return int(max(JOIN_PARTITIONS, min(by_size, 4 * cpus)))
 
 
 def _scrub(ds, n: int = JOIN_PARTITIONS):
@@ -124,7 +147,7 @@ def q_exact_dedup(sf_dir: str):
     return ds.join(
         canon,
         join_type="inner",
-        num_partitions=JOIN_PARTITIONS,
+        num_partitions=join_partitions(sf_dir),
         on=("text_md5",),
     )
 
