@@ -221,6 +221,124 @@ def q_knn_lsh(sf_dir: str):
     return _final_topk(pa.concat_tables(parts))
 
 
+IVF_NLIST = 16    # coarse centroids
+IVF_NPROBE = 4    # lists probed per query
+IVF_TRAIN_CAP = 16384  # training sample bound (scale-independent)
+IVF_ITERS = 10
+
+
+def _train_ivf_centroids(sf_dir: str, nlist: int = IVF_NLIST) -> np.ndarray:
+    """Deterministic spherical k-means over a BOUNDED sample of the
+    embeddings (every vector at sampling stride so the sample size stays
+    ~IVF_TRAIN_CAP regardless of corpus size — the standard IVF training
+    shape: train small, assign streamed). Seeded init, fixed iterations,
+    ties broken by centroid index: same centroids at any parallelism."""
+    import pyarrow.parquet as pq
+
+    from .common import embeddings_path
+
+    pf = pq.ParquetFile(embeddings_path(sf_dir))
+    n_total = pf.metadata.num_rows
+    stride = max(1, n_total // IVF_TRAIN_CAP)
+    t = pq.read_table(embeddings_path(sf_dir), columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    keep = np.nonzero(ids % stride == 0)[0][:IVF_TRAIN_CAP]
+    col = t["embedding"].combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = flat.size // len(t)
+    sample = flat.reshape(-1, dim)[keep]
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    rng = np.random.RandomState(3)
+    cent = sample[rng.choice(sample.shape[0], size=min(nlist, sample.shape[0]),
+                             replace=False)].copy()
+    for _ in range(IVF_ITERS):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(cent.shape[0]):
+            members = sample[assign == c]
+            if members.shape[0]:
+                v = members.sum(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cent[c] = v / nv
+    return cent
+
+
+class IvfKnnStage:
+    """One-pass IVF-flat ANN: per batch, assign each vector to its nearest
+    coarse centroid; vectors whose list is probed by a query get exact
+    cosine; emit batch-local top-k partials. State (centroids + normalized
+    queries + per-query probe lists) built once per actor — streaming scan,
+    no shuffle, no corpus materialization."""
+
+    def __init__(self, query_ids: np.ndarray, query_mat: np.ndarray,
+                 centroids: np.ndarray, nprobe: int = IVF_NPROBE,
+                 k: int = TOP_K):
+        self.qids = query_ids
+        self.qn = query_mat / np.linalg.norm(query_mat, axis=1, keepdims=True)
+        self.cent = centroids
+        self.k = k
+        qc = self.qn @ centroids.T  # (q, nlist)
+        self.probe = np.argsort(-qc, axis=1, kind="stable")[:, :nprobe]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        col = batch["embedding"]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        m = flat.reshape(len(batch), -1)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        assign = np.argmax(mn @ self.cent.T, axis=1)
+        out_q, out_n, out_c = [], [], []
+        for qi in range(self.qids.size):
+            mask = np.isin(assign, self.probe[qi]) & (ids != self.qids[qi])
+            if not mask.any():
+                continue
+            cand_ids = ids[mask]
+            cos = self.qn[qi] @ mn[mask].T
+            sel = np.lexsort((cand_ids, -np.round(cos, ROUND_DP)))[: self.k]
+            out_q.extend([int(self.qids[qi])] * sel.size)
+            out_n.extend(cand_ids[sel].tolist())
+            out_c.extend(cos[sel].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cos": pa.array(out_c, pa.float64()),
+            }
+        )
+
+
+def q_knn_ivf(sf_dir: str):
+    """IVF-flat ANN (the scale path named in the similarity-search spec
+    alongside LSH): bounded-sample spherical k-means trains the coarse
+    quantizer, then ONE streaming pass assigns + probes + reranks exactly,
+    merged by the same tiny partial-top-k reduce as knn_cosine. Rows-only
+    check; recall vs brute force asserted in tests."""
+    import ray
+
+    qids, qmat = _query_matrix(sf_dir)
+    cent = _train_ivf_centroids(sf_dir)
+    partials = read_embeddings(sf_dir, columns=["vec_id", "embedding"]).map_batches(
+        IvfKnnStage,
+        fn_constructor_kwargs={
+            "query_ids": qids, "query_mat": qmat, "centroids": cent,
+        },
+        batch_format="pyarrow",
+        concurrency=pool(),
+        num_cpus=1,
+    )
+    parts = [t for t in (ray.get(r) for r in partials.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "cos": pa.array([], pa.float64()),
+            }
+        )
+    return _final_topk(pa.concat_tables(parts))
+
+
 EMB_DUP_THRESHOLD = 0.3  # synthetic 64-dim embeddings: random cosines
 #                          concentrate near 0, so 0.3 marks genuine near-dups
 
@@ -338,6 +456,7 @@ def q_embedding_dups(sf_dir: str):
 QUERIES = {
     "knn_cosine": q_knn_cosine,
     "knn_lsh": q_knn_lsh,
+    "knn_ivf": q_knn_ivf,
     "embedding_dups": q_embedding_dups,
 }
 

@@ -177,3 +177,31 @@ def test_batch_query_stage_matches_engine(ray_session, planted_docs_dir):
         sub = got[got.query_id == qid]
         assert sub["doc_id"].tolist() == d.tolist(), q
         assert np.allclose(sub["score"].to_numpy(), s, atol=0), q
+
+
+def test_knn_ivf_recalls_planted(ray_session, planted_docs_dir):
+    """IVF-flat finds the planted near-identical neighbor (vec 7 ≈ 2·vec 0
+    shares query 0's centroid by construction) and overlaps brute force."""
+    from pears_lite_ray.pipelines.similarity import q_knn_cosine, q_knn_ivf
+
+    ivf = q_knn_ivf(planted_docs_dir)
+    rows = {
+        q: (n, c)
+        for q, n, c in zip(ivf["query_id"].to_pylist(),
+                           ivf["neighbor_id"].to_pylist(),
+                           ivf["cos"].to_pylist())
+        if c == max(cc for qq, cc in zip(ivf["query_id"].to_pylist(),
+                                         ivf["cos"].to_pylist()) if qq == q)
+    }
+    assert rows[0][0] == 7 and rows[0][1] > 0.99
+
+    bf = q_knn_cosine(planted_docs_dir)
+    def tops(t):
+        d = {}
+        for q, n, c in zip(t["query_id"].to_pylist(), t["neighbor_id"].to_pylist(),
+                           t["cos"].to_pylist()):
+            d.setdefault(q, []).append((c, n))
+        return {q: {n for _, n in sorted(v, reverse=True)[:5]} for q, v in d.items()}
+    tb, ti = tops(bf), tops(ivf)
+    overlap = sum(len(tb[q] & ti.get(q, set())) for q in tb)
+    assert overlap > 0
