@@ -10,9 +10,13 @@ here (nor in the library code it calls) calls ``ray.init()`` /
   followed by batch BM25 top-k evaluation of the fixed query set.
 * ``queries()`` — one callable per implemented operator pipeline
   (SURVEY.md §2 + the training-data operator set: dedup, similarity
-  search, text analysis).
-* ``oracle_sql()`` — DuckDB SQL equivalents where expressible; rows-only
-  ops (minhash/simhash/LSH/langid/fingerprint) intentionally omit SQL.
+  search, text analysis, index maintenance, multimodal stages).
+* ``oracle_sql()`` — DuckDB SQL equivalents where expressible (including
+  SimHash / winnowing fingerprints / language-ID, replicated in SQL via
+  list_reduce FNV-1a). Rows-only by nature: pears/batch search (fusion
+  scoring), MinHash/LSH/IVF ANN (hash permutations / trained
+  quantizers), pod routing (feature-hash centroids), multimodal (binary
+  payloads) — each pytest-conformance-tested instead.
 """
 
 from __future__ import annotations

@@ -121,6 +121,15 @@ def build_pods_table(cfg, vocab=None) -> str:
     return out
 
 
+def pod_doc_counts(index_dir: str) -> dict[str, int]:
+    """Standalone per-pod doc counts (A3 — the reference's per-pod matrix
+    row counts, utils_db.py podsum bookkeeping): read off the pods table
+    the build's grouped aggregate already produced."""
+    t = pq.read_table(os.path.join(index_dir, "pods"),
+                      columns=["pod", "n_docs"])
+    return dict(zip(t["pod"].to_pylist(), t["n_docs"].to_pylist()))
+
+
 class PodRouter:
     """Query-time pod scoring + doc-level pruning masks."""
 

@@ -80,3 +80,20 @@ def test_pod_restricted_search(pod_index):
 def test_pod_of_url():
     assert pod_of_url("https://site7.example/page/3") == "site7"
     assert pod_of_url("nonsense") == "home"
+
+
+def test_pod_doc_counts_match_staging(pod_index):
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from pears_lite_ray.index.pods import pod_doc_counts
+
+    idx = pod_index
+    counts = pod_doc_counts(idx)
+    assert counts and all(v > 0 for v in counts.values())
+    staging = pads.dataset(os.path.join(idx, "staging"))
+    for pod, n in list(counts.items())[:5]:
+        got = staging.to_table(
+            columns=["doc_id"], filter=pc.equal(pc.field("pod"), pod)
+        ).num_rows
+        assert got == n, pod
