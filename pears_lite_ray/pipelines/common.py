@@ -73,10 +73,47 @@ def strip_schema_metadata(batch: pa.Table) -> pa.Table:
     return batch.replace_schema_metadata(None)
 
 
+# (shard, n_shards) applied inside read_documents while set — lets the
+# resumable exporter (state/export.py) restrict PER-DOC pipelines to a
+# doc_id hash slice at the read, without touching pipeline signatures.
+_DOC_SHARD: tuple[int, int] | None = None
+
+
+class doc_shard:
+    """Context manager: ``with doc_shard(i, n): fn(sf_dir)`` builds the
+    pipeline over the ``doc_id % n == i`` slice. The filter fuses into the
+    read tasks, so shard compute (tokenize/hash/score — the expensive
+    part) is proportional to the slice; the scan itself is not pruned
+    (hash shards touch every row group by construction)."""
+
+    def __init__(self, shard: int, n_shards: int):
+        self.val = (shard, n_shards)
+
+    def __enter__(self):
+        global _DOC_SHARD
+        self._prev = _DOC_SHARD
+        _DOC_SHARD = self.val
+
+    def __exit__(self, *exc):
+        global _DOC_SHARD
+        _DOC_SHARD = self._prev
+
+
 def read_documents(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(documents_path(sf_dir), columns=columns).map_batches(
+    ds = rd.read_parquet(documents_path(sf_dir), columns=columns).map_batches(
         strip_schema_metadata, batch_format="pyarrow"
     )
+    if _DOC_SHARD is not None:
+        shard, n = _DOC_SHARD
+
+        def keep_shard(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy()
+            return t.filter(pa.array(ids % n == shard))
+
+        # vectorized batch filter (Ray's expr filter can't parse modulo);
+        # fuses with the read tasks like any map stage
+        ds = ds.map_batches(keep_shard, batch_format="pyarrow")
+    return ds
 
 
 def read_embeddings(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
