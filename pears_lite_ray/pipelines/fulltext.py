@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -21,7 +22,7 @@ from ray.data.aggregate import Count, Mean, Sum
 
 from ..config import BM25_B, BM25_K1, BuildConfig
 from ..stages.tokenize import TokenizeStage
-from .common import SQL_TOKENS, documents_path, pool, read_documents, tokens_per_row
+from .common import SQL_TOKENS, WORD_RE, documents_path, pool, read_documents, tokens_per_row
 
 # Fixed reference query set over the documents vocabulary.
 BM25_QUERIES = [
@@ -236,11 +237,88 @@ QUALIFY row_number() OVER (
     )
 
 
+def sql_pears_search() -> str:
+    """DuckDB replica of the 'pears' fusion scoring over the regex-tokenized
+    documents index (score_pages.py:96-114 semantics, exact for this
+    tokenizer):
+
+    * completeness = matched distinct query terms / distinct terms,
+      candidates need ≥ 0.3;
+    * posix phrase score = 1.0 for conjunctive docs (every query word is a
+      single regex token, and any present single-token word phrase-scores
+      1.0 — overlap_calculation.py:75-79), else 0;
+    * snippet overlap = |qwords ∩ words(title+' '+snippet)| / |qwords|
+      with punctuation mapped to spaces (generic_overlap), +1.0 bonus at
+      exactly 1.0; title/snippet are text[:60]/text[:500] (the
+      PassthroughExtract metadata — see the docs_table oracle);
+    * fused = ((comp + posix) + snip) + bonus — the same left-assoc float
+      order as the engine, so raw doubles (sums of small exact rationals)
+      are bit-identical and the (score desc, doc_id) top-10 agrees.
+
+    The query set is fixed, so distinct term lists and qword sets are
+    precomputed here and inlined as VALUES."""
+    import string as _string
+
+    punct_tab = str.maketrans({c: " " for c in _string.punctuation})
+    term_rows, nq_rows, qw_rows = [], [], []
+    for qid, q in BM25_QUERIES:
+        terms = list(dict.fromkeys(WORD_RE.findall(q.lower())))
+        for t in terms:
+            term_rows.append(f"({qid}, '{t}')")
+        nq_rows.append(f"({qid}, {len(terms)})")
+        qwords = sorted(set(q.lower().translate(punct_tab).split()))
+        qw_list = "[" + ", ".join(f"'{w}'" for w in qwords) + "]"
+        qw_rows.append(f"({qid}, {qw_list}, {len(qwords)})")
+    # string.punctuation as a SQL-safe regex character class
+    cls = re.escape(_string.punctuation).replace("\\", "\\\\").replace("'", "''")
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {', '.join(term_rows)}),
+nq(query_id, n) AS (VALUES {', '.join(nq_rows)}),
+qw(query_id, qwords, nqw) AS (VALUES {', '.join(qw_rows)}),
+docterms AS (
+  SELECT doc_id, unnest(list_distinct({SQL_TOKENS})) AS term FROM documents
+),
+matched AS (
+  SELECT q.query_id, d.doc_id, count(*) AS m
+  FROM qterms q JOIN docterms d ON d.term = q.term
+  GROUP BY 1, 2
+),
+meta AS (
+  SELECT doc_id,
+         list_distinct(list_filter(regexp_split_to_array(
+           regexp_replace(lower(substr(text, 1, 60) || ' ' || substr(text, 1, 500)),
+                          '[{cls}]', ' ', 'g'),
+           '\\s+'), x -> x <> '')) AS swords
+  FROM documents
+),
+scored AS (
+  SELECT c.query_id, c.doc_id,
+         ((c.m::DOUBLE / nq.n
+           + CASE WHEN c.m = nq.n THEN 1.0 ELSE 0.0 END)
+          + len(list_intersect(qw.qwords, meta.swords))::DOUBLE / qw.nqw)
+         + CASE WHEN len(list_intersect(qw.qwords, meta.swords)) = qw.nqw
+                THEN 1.0 ELSE 0.0 END AS score
+  FROM matched c
+  JOIN nq USING (query_id)
+  JOIN qw USING (query_id)
+  JOIN meta ON meta.doc_id = c.doc_id
+  WHERE c.m::DOUBLE / nq.n >= 0.3
+)
+SELECT query_id::INTEGER AS query_id,
+       (row_number() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, doc_id) - 1)::INTEGER AS rank,
+       doc_id,
+       round(score, 6) AS score
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, doc_id) <= {BM25_TOP_K}"""
+
+
 def q_pears_search(sf_dir: str):
     """Reference fusion scoring ('pears' mode: positional phrase +
     completeness + snippet overlap, score_pages.py:96-114) over the
-    documents index. Rows-only driver check — the fusion is conformance-
-    tested against its transcription oracle in tests instead."""
+    documents index. SQL-oracle-checked for the regex tokenizer (see
+    sql_pears_search); the SPM path stays conformance-tested in pytest."""
     from ..query.engine import QueryEngine
 
     idx = docs_index_dir(sf_dir)
@@ -317,4 +395,5 @@ SELECT (SELECT count(*) FROM documents) AS n_docs,
              / (SELECT count(*) FROM documents), 6) AS avgdl""",
     "bm25_scores": sql_bm25_scores(),
     "bm25_topk": sql_bm25_topk(),
+    "pears_search": sql_pears_search(),
 }
