@@ -13,10 +13,11 @@ here (nor in the library code it calls) calls ``ray.init()`` /
   search, text analysis, index maintenance, multimodal stages).
 * ``oracle_sql()`` — DuckDB SQL equivalents where expressible (including
   SimHash / winnowing fingerprints / language-ID, replicated in SQL via
-  list_reduce FNV-1a). Rows-only by nature: pears/batch search (fusion
-  scoring), MinHash/LSH/IVF ANN (hash permutations / trained
-  quantizers), pod routing (feature-hash centroids), multimodal (binary
-  payloads) — each pytest-conformance-tested instead.
+  list_reduce FNV-1a, and the pears fusion scoring for the regex
+  tokenizer). Rows-only by nature: batch search (raw-float scores),
+  MinHash/LSH/IVF ANN (hash permutations / trained quantizers), pod
+  routing (feature-hash centroids), multimodal (binary payloads) — each
+  pytest-conformance-tested instead.
 """
 
 from __future__ import annotations
