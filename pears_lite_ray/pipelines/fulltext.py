@@ -227,6 +227,22 @@ def sql_bm25_scores(where: str = "") -> str:
     )
 
 
+def sql_batch_search() -> str:
+    """bm25_topk + a 0-based rank column under the same rounded-score
+    (desc, doc_id) contract."""
+    return (
+        _BM25_CTE.format(qterms=_qterms_values(), where="")
+        + f"""SELECT query_id,
+       (row_number() OVER (PARTITION BY query_id
+                           ORDER BY round(raw, 6) DESC, doc_id) - 1)::INTEGER
+         AS rank,
+       doc_id, round(raw, 6) AS score FROM scored
+QUALIFY row_number() OVER (
+  PARTITION BY query_id ORDER BY round(raw, 6) DESC, doc_id
+) <= {BM25_TOP_K}"""
+    )
+
+
 def sql_bm25_topk(where: str = "") -> str:
     return (
         _BM25_CTE.format(qterms=_qterms_values(), where=where)
@@ -343,8 +359,11 @@ def q_pears_search(sf_dir: str):
 def q_batch_search(sf_dir: str):
     """Dataset-scale query evaluation: a query TABLE through the
     BatchQueryStage actor pool (one engine per actor, queries stream as
-    batches). Rows-only check; equality with per-query engine calls is
-    asserted in tests."""
+    batches). Output ranks re-derive from the 6dp-ROUNDED scores (desc,
+    doc_id asc) — the engine ranks by raw floats whose last ulp differs
+    from DuckDB's summation order, so the rounded contract (same as
+    q_bm25_topk) is what the SQL oracle can reproduce; raw-rank equality
+    with per-query engine calls stays asserted in tests."""
     import ray.data as rd
 
     from ..query.engine import BatchQueryStage
@@ -358,7 +377,7 @@ def q_batch_search(sf_dir: str):
             "k": pa.array([BM25_TOP_K] * len(BM25_QUERIES), pa.int32()),
         }
     )
-    return rd.from_arrow(queries).map_batches(
+    hits = rd.from_arrow(queries).map_batches(
         BatchQueryStage,
         fn_constructor_kwargs={"index_dir": idx},
         batch_format="pyarrow",
@@ -366,6 +385,28 @@ def q_batch_search(sf_dir: str):
         concurrency=pool(),
         num_cpus=1,
     )
+
+    def rerank(batch: pa.Table) -> pa.Table:
+        q = batch["query_id"].to_numpy()
+        d = batch["doc_id"].to_numpy()
+        s = np.round(batch["score"].to_numpy(), 6)
+        order = np.lexsort((d, -s, q))
+        q, d, s = q[order], d[order], s[order]
+        rank = np.arange(q.size, dtype=np.int32)
+        starts = np.r_[0, np.nonzero(q[1:] != q[:-1])[0] + 1]
+        rank -= np.repeat(rank[starts], np.diff(np.r_[starts, q.size]))
+        return pa.table(
+            {
+                "query_id": pa.array(q, pa.int32()),
+                "rank": pa.array(rank, pa.int32()),
+                "doc_id": pa.array(d, pa.int64()),
+                "score": pa.array(s, pa.float64()),
+            }
+        )
+
+    # one tiny block (4 queries × top-10); a grouped re-rank per block is
+    # exact because each query's rows come from one stage call
+    return hits.map_batches(rerank, batch_format="pyarrow", batch_size=None)
 
 
 QUERIES = {
@@ -396,4 +437,5 @@ SELECT (SELECT count(*) FROM documents) AS n_docs,
     "bm25_scores": sql_bm25_scores(),
     "bm25_topk": sql_bm25_topk(),
     "pears_search": sql_pears_search(),
+    "batch_search": sql_batch_search(),
 }
