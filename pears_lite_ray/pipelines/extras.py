@@ -11,8 +11,14 @@ Entries with exact SQL semantics get DuckDB oracles:
 * compact_bm25 — delete every doc_id ≡ 3 (mod 7), compact, rescore → the
                  BM25 SQL over the filtered corpus.
 
-Rows-only (not ANSI-SQL-expressible): pods_route (feature-hash centroids),
-multimodal_* (binary payload plumbing; correctness pinned by pytest).
+* multimodal_* — the synthetic payloads derive deterministically from the
+                 (pure-ASCII) document bytes, the 16×16→16×16 resize is the
+                 identity, and every statistic is an exact small-integer
+                 division (histogram/256, frame mean/64) or an IEEE sqrt —
+                 so image features, audio RMS and frame means replicate in
+                 SQL via ord() byte extraction.
+
+Rows-only (not ANSI-SQL-expressible): pods_route (feature-hash centroids).
 """
 
 from __future__ import annotations
@@ -291,13 +297,18 @@ def q_multimodal_image(sf_dir: str):
         ResizeImageStage,
     )
 
+    from .common import round6
+
     def widen(batch: pa.Table) -> pa.Table:
         col = batch["feature"]
         arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         m = arr.flatten().to_numpy(zero_copy_only=False).reshape(len(batch), -1)
         cols = {"media_id": batch["media_id"]}
         for j in range(m.shape[1]):
-            cols[f"f{j:02d}"] = pa.array(np.round(m[:, j], 6), pa.float64())
+            # round6 (away from zero): k/256 histogram values land exactly
+            # on the 7th-digit .5 boundary, where np.round (half-even)
+            # diverges from DuckDB's round()
+            cols[f"f{j:02d}"] = pa.array(round6(m[:, j]), pa.float64())
         return pa.table(cols)
 
     return (
@@ -354,6 +365,67 @@ def q_multimodal_frames(sf_dir: str):
     )
 
 
+
+
+def _mm_byte(n_bytes: int, salt_mod: int) -> str:
+    """SQL fragment: synthetic payload byte i of a doc (the SQL replica of
+    _payload_bytes: tile the first 4·n text bytes, add the salt, mod 256;
+    documents text is pure ASCII so ord() == byte)."""
+    return (
+        f"(ord(substr(text, ((i % least(length(text), {4 * n_bytes})) + 1)::INT, 1))"
+        f" + doc_id % {salt_mod}) % 256"
+    )
+
+
+def sql_multimodal_frames() -> str:
+    total = VID_W * VID_H * VID_FRAMES
+    fsz = VID_W * VID_H
+    byte = _mm_byte(total, 83)
+    return f"""
+WITH px AS (
+  SELECT doc_id, i, ({byte}) AS b
+  FROM documents, UNNEST(range(0, {total})) AS u(i)
+)
+SELECT doc_id AS media_id, (i // {fsz})::INTEGER AS frame_idx,
+       round(sum(b)::DOUBLE / {fsz}, 6) AS mean_intensity
+FROM px
+WHERE (i // {fsz}) % 2 = 0
+GROUP BY doc_id, (i // {fsz})::INTEGER"""
+
+
+def sql_multimodal_audio() -> str:
+    n = AUDIO_SAMPLES
+    byte = _mm_byte(n, 89)
+    return f"""
+WITH s AS (
+  SELECT doc_id, (({byte}) * 64 - 8192)::BIGINT AS v
+  FROM documents, UNNEST(range(0, {n})) AS u(i)
+)
+SELECT doc_id AS media_id,
+       {AUDIO_SR}::INTEGER AS sample_rate,
+       {n}::BIGINT AS n_samples,
+       round(sqrt(sum(v * v)::DOUBLE / {n}), 6) AS rms
+FROM s GROUP BY doc_id"""
+
+
+def sql_multimodal_image() -> str:
+    n = IMG_W * IMG_H
+    byte = _mm_byte(n, 97)
+    cols = ",\n       ".join(
+        f"round(sum(CASE WHEN b // 16 = {j} THEN 1 ELSE 0 END)::DOUBLE / {n}, 6)"
+        f" AS f{j:02d}"
+        for j in range(16)
+    )
+    return f"""
+WITH px AS (
+  SELECT doc_id, ({byte}) AS b
+  FROM documents, UNNEST(range(0, {n})) AS u(i)
+)
+SELECT doc_id AS media_id,
+       {cols}
+FROM px GROUP BY doc_id"""
+
+
 QUERIES = {
     "csv_docs": q_csv_docs,
     "merge_bm25": q_merge_bm25,
@@ -389,4 +461,7 @@ FROM built""",
     "compact_bm25": sql_bm25_scores(
         where=f"WHERE doc_id % {COMPACT_MOD} <> {COMPACT_RESIDUE}"
     ),
+    "multimodal_image": sql_multimodal_image(),
+    "multimodal_audio": sql_multimodal_audio(),
+    "multimodal_frames": sql_multimodal_frames(),
 }
