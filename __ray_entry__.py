@@ -11,13 +11,12 @@ here (nor in the library code it calls) calls ``ray.init()`` /
 * ``queries()`` — one callable per implemented operator pipeline
   (SURVEY.md §2 + the training-data operator set: dedup, similarity
   search, text analysis, index maintenance, multimodal stages).
-* ``oracle_sql()`` — DuckDB SQL equivalents where expressible (including
-  SimHash / winnowing fingerprints / language-ID, replicated in SQL via
-  list_reduce FNV-1a, and the pears fusion scoring for the regex
-  tokenizer). Rows-only by nature: batch search (raw-float scores),
-  MinHash/LSH/IVF ANN (hash permutations / trained quantizers), pod
-  routing (feature-hash centroids), multimodal (binary payloads) — each
-  pytest-conformance-tested instead.
+* ``oracle_sql()`` — DuckDB SQL equivalents where expressible: 24 of the
+  28 entries are SQL-exact, including SimHash / winnowing fingerprints /
+  language-ID (list_reduce FNV-1a), the pears fusion scoring, batch
+  search and the multimodal stages (ord() byte extraction). Rows-only by
+  nature: MinHash/LSH/IVF ANN (hash permutations / trained quantizers)
+  and pod routing (feature-hash centroids) — pytest-conformance-tested.
 """
 
 from __future__ import annotations
