@@ -181,11 +181,80 @@ def q_fingerprint(sf_dir: str):
     )
 
 
+# Gopher-style document-quality gate (Rae et al. 2021, §A1.1 — the
+# public filtering rules, deterministic subset that needs no line
+# structure): word-count bounds, mean-word-length bounds, symbol ratio,
+# alphabetic-word ratio, stopword presence.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL = 3.0
+GOPHER_MAX_MWL = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_MIN_STOP_HITS = 2
+
+_ALPHA_RE = None  # compiled lazily inside the batch fn
+
+
+def q_gopher_quality(sf_dir: str):
+    """Per-doc Gopher filter metrics + the keep decision — the
+    training-data quality gate every large corpus pipeline runs before
+    tokenization. Whitespace words (not the regex tokens: the rules are
+    defined over raw words incl. punctuation). SQL-oracle-checked."""
+    import re as _re
+
+    alpha = _re.compile(r"[a-zA-Z]")
+
+    def gate(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        wc_o, mwl_o, sym_o, al_o, st_o, keep_o = [], [], [], [], [], []
+        for text in texts:
+            words = text.split()
+            wc = len(words)
+            safe = max(wc, 1)
+            mwl = float(round6(sum(len(w) for w in words) / safe))
+            n_sym = text.count("#") + text.count("...")
+            sym = float(round6(n_sym / safe))
+            n_alpha = sum(1 for w in words if alpha.search(w))
+            al = float(round6(n_alpha / safe))
+            lowered = {w.lower() for w in words}
+            st = sum(1 for s in _STOPSET if s in lowered)
+            keep = (
+                GOPHER_MIN_WORDS <= wc <= GOPHER_MAX_WORDS
+                and GOPHER_MIN_MWL <= mwl <= GOPHER_MAX_MWL
+                and sym <= GOPHER_MAX_SYMBOL_RATIO
+                and al >= GOPHER_MIN_ALPHA_RATIO
+                and st >= GOPHER_MIN_STOP_HITS
+            )
+            wc_o.append(wc)
+            mwl_o.append(mwl)
+            sym_o.append(sym)
+            al_o.append(al)
+            st_o.append(st)
+            keep_o.append(keep)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "word_count": pa.array(wc_o, pa.int64()),
+                "mean_word_length": pa.array(mwl_o, pa.float64()),
+                "symbol_ratio": pa.array(sym_o, pa.float64()),
+                "alpha_word_ratio": pa.array(al_o, pa.float64()),
+                "stop_hits": pa.array(st_o, pa.int64()),
+                "keep": pa.array(keep_o, pa.bool_()),
+            }
+        )
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        gate, batch_format="pyarrow"
+    )
+
+
 QUERIES = {
     "quality": q_quality,
     "token_count": q_token_count,
     "langid": q_langid,
     "fingerprint": q_fingerprint,
+    "gopher_quality": q_gopher_quality,
 }
 
 def _sql_marker_list(lang: str) -> str:
@@ -201,7 +270,46 @@ def _sql_rate(lang: str) -> str:
 
 _FNV_SHINGLE = sql_fnv1a("t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '")
 
+
+def _sql_gopher() -> str:
+    """Replica of q_gopher_quality: whitespace words; '#' count via
+    replace-length delta; '...' count via the same non-overlapping
+    semantics Python's str.count has; ratios rounded away-from-zero."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(w) AS word_count,
+         greatest(len(w), 1) AS safe,
+         coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS chars,
+         (length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) // 3 AS n_sym,
+         len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+         len(list_intersect({SQL_STOPWORDS},
+             list_distinct(list_transform(w, x -> lower(x))))) AS stop_hits
+  FROM base
+)
+SELECT doc_id,
+       word_count,
+       round(chars::DOUBLE / safe, 6) AS mean_word_length,
+       round(n_sym::DOUBLE / safe, 6) AS symbol_ratio,
+       round(n_alpha::DOUBLE / safe, 6) AS alpha_word_ratio,
+       stop_hits,
+       (word_count BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+        AND round(chars::DOUBLE / safe, 6)
+              BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL}
+        AND round(n_sym::DOUBLE / safe, 6) <= {GOPHER_MAX_SYMBOL_RATIO}
+        AND round(n_alpha::DOUBLE / safe, 6) >= {GOPHER_MIN_ALPHA_RATIO}
+        AND stop_hits >= {GOPHER_MIN_STOP_HITS}) AS keep
+FROM m"""
+
+
 ORACLE_SQL = {
+    "gopher_quality": _sql_gopher(),
     # argmax with strict-improvement tie order en > de > fr > es (the
     # engine's dict scan order); confidence is the best rate regardless of
     # whether it clears the 0.02 'unknown' floor.

@@ -205,3 +205,36 @@ def test_knn_ivf_recalls_planted(ray_session, planted_docs_dir):
     tb, ti = tops(bf), tops(ivf)
     overlap = sum(len(tb[q] & ti.get(q, set())) for q in tb)
     assert overlap > 0
+
+
+def test_gopher_quality_gate(ray_session, tmp_path):
+    """Gopher rules fire on the right documents: a normal doc keeps, a
+    too-short / symbol-heavy / stopword-free doc drops."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    good = ("the quick brown fox jumps over the lazy dog and then the dog "
+            "turns around to chase the fox across the wide green field for "
+            "a long while until both of them rest under the old oak tree "
+            "near the quiet river bank at the end of the warm afternoon")
+    short = "tiny doc"
+    symbols = " ".join(["##"] * 60)
+    nostops = " ".join(["zzz"] * 60)
+    d = tmp_path / "gq"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array([good, short, symbols, nostops], pa.string()),
+            "lang": pa.array(["en"] * 4, pa.string()),
+        }),
+        str(d / "documents.parquet"),
+    )
+    from pears_lite_ray.pipelines.textstats import q_gopher_quality
+
+    t = q_gopher_quality(str(d)).to_pandas().set_index("doc_id")
+    assert bool(t.loc[0, "keep"])
+    assert not bool(t.loc[1, "keep"])      # word count < 50
+    assert not bool(t.loc[2, "keep"])      # symbol ratio + alpha ratio
+    assert not bool(t.loc[3, "keep"])      # no stopwords
+    assert t.loc[0, "word_count"] >= 50
