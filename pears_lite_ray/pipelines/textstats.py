@@ -249,12 +249,59 @@ def q_gopher_quality(sf_dir: str):
     )
 
 
+def q_repetition(sf_dir: str):
+    """Gopher repetition metrics (Rae et al. 2021 §A1.1, the
+    no-line-structure subset): fraction of repeated words
+    (1 − distinct/total) and the max character mass of any single word
+    2-gram (count × chars of the 2-gram / total word chars) — the
+    boilerplate/looping-text detector. The max-of-products definition is
+    tie-free, so engine and SQL agree without a tie-break rule.
+    SQL-oracle-checked."""
+
+    def rep(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        dup_o, top_o = [], []
+        for text in texts:
+            words = text.lower().split()
+            wc = len(words)
+            if wc == 0:
+                dup_o.append(0.0)
+                top_o.append(0.0)
+                continue
+            dup = float(round6(1.0 - len(set(words)) / wc))
+            total_chars = sum(len(w) for w in words)
+            best = 0
+            if wc >= 2 and total_chars:
+                counts: dict[tuple[str, str], int] = {}
+                for i in range(wc - 1):
+                    g = (words[i], words[i + 1])
+                    counts[g] = counts.get(g, 0) + 1
+                best = max(
+                    c * (len(g[0]) + len(g[1])) for g, c in counts.items()
+                )
+            top = float(round6(best / total_chars)) if total_chars else 0.0
+            dup_o.append(dup)
+            top_o.append(top)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "dup_word_frac": pa.array(dup_o, pa.float64()),
+                "top_2gram_char_frac": pa.array(top_o, pa.float64()),
+            }
+        )
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        rep, batch_format="pyarrow"
+    )
+
+
 QUERIES = {
     "quality": q_quality,
     "token_count": q_token_count,
     "langid": q_langid,
     "fingerprint": q_fingerprint,
     "gopher_quality": q_gopher_quality,
+    "repetition": q_repetition,
 }
 
 def _sql_marker_list(lang: str) -> str:
@@ -308,8 +355,44 @@ SELECT doc_id,
 FROM m"""
 
 
+_SQL_REPETITION = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+stats AS (
+  SELECT doc_id, len(w) AS wc,
+         len(list_distinct(w)) AS dwc,
+         coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS chars,
+         w
+  FROM base
+),
+grams AS (
+  SELECT s.doc_id,
+         s.w[i] || ' ' || s.w[i+1] AS g,
+         length(s.w[i]) + length(s.w[i+1]) AS glen
+  FROM stats s, UNNEST(generate_series(1, s.wc - 1)) AS u(i)
+),
+best AS (
+  SELECT doc_id, max(cnt * glen) AS mass
+  FROM (SELECT doc_id, g, glen, count(*) AS cnt
+        FROM grams GROUP BY doc_id, g, glen)
+  GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CASE WHEN s.wc = 0 THEN 0.0
+            ELSE round(1.0 - s.dwc::DOUBLE / s.wc, 6) END AS dup_word_frac,
+       CASE WHEN s.chars = 0 THEN 0.0
+            ELSE round(coalesce(b.mass, 0)::DOUBLE / s.chars, 6)
+       END AS top_2gram_char_frac
+FROM stats s LEFT JOIN best b ON b.doc_id = s.doc_id"""
+
+
 ORACLE_SQL = {
     "gopher_quality": _sql_gopher(),
+    "repetition": _SQL_REPETITION,
     # argmax with strict-improvement tie order en > de > fr > es (the
     # engine's dict scan order); confidence is the best rate regardless of
     # whether it clears the 0.02 'unknown' floor.
