@@ -295,6 +295,45 @@ def q_repetition(sf_dir: str):
     )
 
 
+# Deterministic stratified sampling (corpus mixing): per-language keep
+# rates applied via a splitmix-style doc_id hash — the same doc samples
+# identically at any parallelism, on any re-run, with no RNG state.
+SAMPLE_RATES = {"en": 0.5, "de": 1.0}
+SAMPLE_DEFAULT_RATE = 0.1
+_SAMPLE_MULT = 0x9E3779B97F4A7C15
+
+
+def q_sample(sf_dir: str):
+    """Per-doc sampling decision: u = hash(doc_id)/2^64 ∈ [0,1), keep when
+    u < rate(lang). Emits every doc with its uniform draw and the flag
+    (filtering is one more `.filter`; keeping the flag makes the op
+    auditable). SQL-oracle-checked — the draw is exact integer → double
+    arithmetic on both sides."""
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        langs = batch["lang"].to_pylist()
+        with np.errstate(over="ignore"):
+            h = ids.astype(np.uint64) * np.uint64(_SAMPLE_MULT)
+        u = h.astype(np.float64) / float(1 << 64)
+        rates = np.array(
+            [SAMPLE_RATES.get(lg, SAMPLE_DEFAULT_RATE) for lg in langs],
+            dtype=np.float64,
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "u": pa.array(u, pa.float64()),
+                "sampled": pa.array(u < rates, pa.bool_()),
+            }
+        )
+
+    return read_documents(sf_dir, columns=["doc_id", "lang"]).map_batches(
+        sample, batch_format="pyarrow"
+    )
+
+
 QUERIES = {
     "quality": q_quality,
     "token_count": q_token_count,
@@ -302,6 +341,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "gopher_quality": q_gopher_quality,
     "repetition": q_repetition,
+    "sample": q_sample,
 }
 
 def _sql_marker_list(lang: str) -> str:
@@ -390,9 +430,26 @@ SELECT s.doc_id,
 FROM stats s LEFT JOIN best b ON b.doc_id = s.doc_id"""
 
 
+def _sql_sample() -> str:
+    rate_cases = " ".join(
+        f"WHEN '{lg}' THEN {r}" for lg, r in sorted(SAMPLE_RATES.items())
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         ((doc_id::HUGEINT * {_SAMPLE_MULT}) % 18446744073709551616)::UBIGINT
+           ::DOUBLE / 18446744073709551616.0 AS u
+  FROM documents
+)
+SELECT doc_id, lang, u,
+       u < (CASE lang {rate_cases} ELSE {SAMPLE_DEFAULT_RATE} END) AS sampled
+FROM h"""
+
+
 ORACLE_SQL = {
     "gopher_quality": _sql_gopher(),
     "repetition": _SQL_REPETITION,
+    "sample": _sql_sample(),
     # argmax with strict-improvement tie order en > de > fr > es (the
     # engine's dict scan order); confidence is the best rate regardless of
     # whether it clears the 0.02 'unknown' floor.
