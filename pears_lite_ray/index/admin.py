@@ -107,7 +107,10 @@ def export_pod(index_dir: str, pod: str, out_path: str) -> int:
         for batch in scanner.to_batches():
             for url, lang in zip(batch["url"].to_pylist(),
                                  batch["lang"].to_pylist()):
-                f_out.write(f"{url};{pod};{lang}\n")
+                # ';' is legal in urls but is this format's field separator
+                # (reference mk_urls_file.py writes it raw and corrupts the
+                # line); percent-encode it so consumers can split on ';'
+                f_out.write(f"{url.replace(';', '%3B')};{pod};{lang}\n")
                 n += 1
     os.replace(tmp, out_path)
     return n

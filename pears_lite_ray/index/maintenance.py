@@ -36,9 +36,26 @@ def load_tombstones(index_dir: str) -> np.ndarray:
 
 
 def delete_urls(index_dir: str, urls: list[str]) -> np.ndarray:
-    """Tombstone the docs for ``urls``; returns the full tombstone set."""
+    """Tombstone the docs for ``urls``; returns the full tombstone set.
+
+    Resolves ids two ways and unions them: the url hash (the normal case —
+    doc_id IS the hash of the indexed url) plus a staging url→doc_id
+    lookup, which catches docs whose url was RENAMED after indexing
+    (rename_url is metadata-only, so a renamed doc's id stays the hash of
+    its ORIGINAL url and the plain hash of its current url would silently
+    miss it)."""
     ids = set(int(i) for i in load_tombstones(index_dir))
     ids.update(url_doc_id(u) for u in urls)
+    staging = os.path.join(index_dir, "staging")
+    if os.path.isdir(staging):
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(staging, format="parquet").to_table(
+            columns=["doc_id"],
+            filter=pc.field("url").isin(list(urls)),
+        )
+        ids.update(int(i) for i in t["doc_id"].to_pylist())
     out = np.array(sorted(ids), dtype=np.int64)
     with open(tombstone_path(index_dir), "w") as f:
         json.dump({"doc_ids": [int(i) for i in out]}, f)

@@ -61,6 +61,21 @@ def documents_path(sf_dir: str) -> str:
     return os.path.join(sf_dir, "documents.parquet")
 
 
+def cache_tag(sf_dir: str) -> str:
+    """Cache key for /tmp artifacts derived from sf_dir's documents table:
+    path + (size, mtime_ns) fingerprint, so a regenerated-in-place
+    documents.parquet invalidates every derived index/CSV/half-corpus
+    cache instead of silently serving stale results (same contract as
+    state/export.py's manifest fingerprint)."""
+    p = documents_path(sf_dir)
+    try:
+        st = os.stat(p)
+        fp = f"{st.st_size}-{st.st_mtime_ns}"
+    except OSError:
+        fp = "nofile"
+    return hashlib.md5(f"{os.path.abspath(sf_dir)}|{fp}".encode()).hexdigest()[:12]
+
+
 def embeddings_path(sf_dir: str) -> str:
     return os.path.join(sf_dir, "embeddings.parquet")
 

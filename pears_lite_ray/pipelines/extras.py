@@ -23,7 +23,6 @@ Rows-only (not ANSI-SQL-expressible): pods_route (feature-hash centroids).
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 import numpy as np
@@ -41,8 +40,12 @@ COMPACT_MOD, COMPACT_RESIDUE = 7, 3  # tombstone doc_id % 7 == 3
 
 
 def _cache_dir(sf_dir: str, kind: str) -> str:
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return os.path.join("/tmp/pears_idx_cache", f"{tag}-{kind}")
+    # tag fingerprints documents.parquet (size+mtime): regenerating the
+    # input in place invalidates the synthesized CSV / half-corpora /
+    # built-index caches instead of silently scoring against stale ones
+    from .common import cache_tag
+
+    return os.path.join("/tmp/pears_idx_cache", f"{cache_tag(sf_dir)}-{kind}")
 
 
 # -- S4: CSV source ----------------------------------------------------------

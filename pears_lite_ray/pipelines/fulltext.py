@@ -12,7 +12,6 @@ several query entries share one build.
 
 from __future__ import annotations
 
-import hashlib
 import os
 import re
 
@@ -37,9 +36,12 @@ BM25_TOP_K = 10
 # -- index build cache -------------------------------------------------------
 
 def docs_index_dir(sf_dir: str) -> str:
-    """Build (once) and return the index over sf_dir's documents table."""
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    out = os.path.join("/tmp/pears_idx_cache", tag)
+    """Build (once) and return the index over sf_dir's documents table.
+    The cache tag fingerprints the input (size+mtime), so a regenerated
+    documents.parquet rebuilds instead of serving a stale index."""
+    from .common import cache_tag
+
+    out = os.path.join("/tmp/pears_idx_cache", cache_tag(sf_dir))
     if not os.path.exists(os.path.join(out, "stats.json")):
         from ..index.build import build_index
 

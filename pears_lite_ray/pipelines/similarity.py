@@ -2,9 +2,11 @@
 
 * knn_cosine — brute-force cosine top-k: the query matrix is broadcast once
   (``ray.put`` in the actor constructor args), each batch does one float64
-  matmul, per-batch partial top-k rows are merged with one tiny driver-side
-  selection. Scales: the scan is embarrassingly parallel, the reduce is
-  O(#batches × q × k). SQL-oracle-checked via list_cosine_similarity.
+  matmul, per-batch partial top-k rows are merged by a DISTRIBUTED
+  groupby(query_id) reduce stage. Scales: the scan is embarrassingly
+  parallel, the reduce moves O(#batches × q × k) tiny rows through a q-way
+  grouped shuffle and nothing data-sized ever reaches the driver.
+  SQL-oracle-checked via list_cosine_similarity.
 * knn_lsh — random-hyperplane LSH bucketing (16-bit signatures): candidates
   share a signature bucket with the query, reranked exactly. Rows-only
   check (hyperplanes not SQL-expressible); recall vs brute force is
@@ -25,13 +27,20 @@ ROUND_DP = 4  # float32 inputs; 4dp keeps numpy/DuckDB double paths identical
 
 
 def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    import pyarrow.compute as pc
+    """The N_QUERY_VECS query vectors, via parquet PREDICATE PUSHDOWN —
+    only row groups whose vec_id range intersects [0, N) are read, so the
+    driver never holds more than those row groups regardless of corpus
+    size (round-2 ADVICE: the previous full-table read was a driver OOM
+    at scale)."""
     import pyarrow.parquet as pq
 
     from .common import embeddings_path
 
-    t = pq.read_table(embeddings_path(sf_dir), columns=["vec_id", "embedding"])
-    t = t.filter(pc.less(t["vec_id"], N_QUERY_VECS))
+    t = pq.read_table(
+        embeddings_path(sf_dir),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", N_QUERY_VECS)],
+    )
     ids = t["vec_id"].to_numpy()
     mat = np.stack(
         [np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()]
@@ -79,30 +88,49 @@ class BruteForceKnnStage:
         )
 
 
-def _final_topk(partials: pa.Table, k: int = TOP_K) -> pa.Table:
-    """Merge partial top-k rows: per query (rounded-cos desc, neighbor asc)."""
-    q = partials["query_id"].to_numpy()
-    n = partials["neighbor_id"].to_numpy()
-    c = np.round(partials["cos"].to_numpy(), ROUND_DP)
-    out_q, out_n, out_c = [], [], []
-    for qid in np.unique(q):
-        m = q == qid
-        order = np.lexsort((n[m], -c[m]))[:k]
-        out_q.extend([int(qid)] * len(order))
-        out_n.extend(n[m][order].tolist())
-        out_c.extend(c[m][order].tolist())
+def _topk_of_group(group: pa.Table, k: int = TOP_K) -> pa.Table:
+    """One query's final top-k from its partial rows: (rounded-cos desc,
+    neighbor asc)."""
+    n = group["neighbor_id"].to_numpy()
+    c = np.round(group["cos"].to_numpy(), ROUND_DP)
+    order = np.lexsort((n, -c))[:k]
+    qid = int(group["query_id"][0].as_py())
     return pa.table(
         {
-            "query_id": pa.array(out_q, pa.int64()),
-            "neighbor_id": pa.array(out_n, pa.int64()),
-            "cos": pa.array(out_c, pa.float64()),
+            "query_id": pa.array([qid] * order.size, pa.int64()),
+            "neighbor_id": pa.array(n[order], pa.int64()),
+            "cos": pa.array(c[order], pa.float64()),
         }
     )
 
 
-def q_knn_cosine(sf_dir: str):
-    import ray
+_EMPTY_KNN = pa.table(
+    {
+        "query_id": pa.array([], pa.int64()),
+        "neighbor_id": pa.array([], pa.int64()),
+        "cos": pa.array([], pa.float64()),
+    }
+)
 
+
+def _final_topk(partials, k: int = TOP_K):
+    """DISTRIBUTED final top-k merge: partial rows (q×k per input block)
+    group by query and reduce in a second dataset stage — no driver-side
+    ``ray.get`` over data blocks (round-2 ADVICE: at 100 TB the partial
+    set is millions of blocks × q×k rows; a driver concat would be the
+    bottleneck, a q-way grouped reduce is not). The partials are
+    materialized first: they are tiny by construction, and it both guards
+    the empty case and feeds the groupby without re-running the scan."""
+    partials = partials.materialize()
+    if partials.count() == 0:
+        return _EMPTY_KNN
+    return (
+        partials.groupby("query_id")
+        .map_groups(_topk_of_group, batch_format="pyarrow")
+    )
+
+
+def q_knn_cosine(sf_dir: str):
     qids, qmat = _query_matrix(sf_dir)
     partials = read_embeddings(sf_dir, columns=["vec_id", "embedding"]).map_batches(
         BruteForceKnnStage,
@@ -111,8 +139,7 @@ def q_knn_cosine(sf_dir: str):
         concurrency=pool(),
         num_cpus=1,
     )
-    parts = [t for t in (ray.get(r) for r in partials.to_arrow_refs()) if t.num_rows]
-    return _final_topk(pa.concat_tables(parts))
+    return _final_topk(partials)
 
 
 class LshBucketStage:
@@ -194,11 +221,9 @@ def q_knn_lsh(sf_dir: str):
     """LSH-bucketed ANN: rerank only vectors whose signature is within
     Hamming distance 1 of the query's — a single streaming map over the
     corpus (signature + probe-filter + exact rerank fused per batch),
-    merged by the same tiny partial-top-k reduce as knn_cosine. No stage
-    materializes the corpus. Rows-only check; recall vs brute force is
-    asserted in tests."""
-    import ray
-
+    merged by the same distributed grouped top-k reduce as knn_cosine. No
+    stage materializes the corpus. Rows-only check; recall vs brute force
+    is asserted in tests."""
     qids, qmat = _query_matrix(sf_dir)
     partials = read_embeddings(sf_dir, columns=["vec_id", "embedding"]).map_batches(
         LshKnnStage,
@@ -209,16 +234,7 @@ def q_knn_lsh(sf_dir: str):
         concurrency=pool(),
         num_cpus=1,
     )
-    parts = [t for t in (ray.get(r) for r in partials.to_arrow_refs()) if t.num_rows]
-    if not parts:
-        return pa.table(
-            {
-                "query_id": pa.array([], pa.int64()),
-                "neighbor_id": pa.array([], pa.int64()),
-                "cos": pa.array([], pa.float64()),
-            }
-        )
-    return _final_topk(pa.concat_tables(parts))
+    return _final_topk(partials)
 
 
 IVF_NLIST = 16    # coarse centroids
@@ -232,7 +248,13 @@ def _train_ivf_centroids(sf_dir: str, nlist: int = IVF_NLIST) -> np.ndarray:
     embeddings (every vector at sampling stride so the sample size stays
     ~IVF_TRAIN_CAP regardless of corpus size — the standard IVF training
     shape: train small, assign streamed). Seeded init, fixed iterations,
-    ties broken by centroid index: same centroids at any parallelism."""
+    ties broken by centroid index: same centroids at any parallelism.
+
+    The sample is gathered by a STREAMING Ray Data pass (round-2 ADVICE:
+    the previous full-table driver read was unbounded): the strided filter
+    runs inside the read tasks, only the ≤2×IVF_TRAIN_CAP surviving rows
+    ever reach the driver, and they are sorted by vec_id there so the
+    sample is identical at any parallelism / block arrival order."""
     import pyarrow.parquet as pq
 
     from .common import embeddings_path
@@ -240,9 +262,20 @@ def _train_ivf_centroids(sf_dir: str, nlist: int = IVF_NLIST) -> np.ndarray:
     pf = pq.ParquetFile(embeddings_path(sf_dir))
     n_total = pf.metadata.num_rows
     stride = max(1, n_total // IVF_TRAIN_CAP)
-    t = pq.read_table(embeddings_path(sf_dir), columns=["vec_id", "embedding"])
+
+    def keep_strided(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy()
+        return t.filter(pa.array(ids % stride == 0))
+
+    # stride = floor(n/CAP) ⇒ at most 2×CAP strided rows exist, so this
+    # take_batch collects them ALL (bounded: ~16 MB at 64 dims)
+    t = (
+        read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+        .map_batches(keep_strided, batch_format="pyarrow")
+        .take_batch(2 * IVF_TRAIN_CAP, batch_format="pyarrow")
+    )
     ids = t["vec_id"].to_numpy()
-    keep = np.nonzero(ids % stride == 0)[0][:IVF_TRAIN_CAP]
+    keep = np.argsort(ids)[:IVF_TRAIN_CAP]
     col = t["embedding"].combine_chunks()
     flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     dim = flat.size // len(t)
@@ -312,10 +345,8 @@ def q_knn_ivf(sf_dir: str):
     """IVF-flat ANN (the scale path named in the similarity-search spec
     alongside LSH): bounded-sample spherical k-means trains the coarse
     quantizer, then ONE streaming pass assigns + probes + reranks exactly,
-    merged by the same tiny partial-top-k reduce as knn_cosine. Rows-only
-    check; recall vs brute force asserted in tests."""
-    import ray
-
+    merged by the same distributed grouped top-k reduce as knn_cosine.
+    Rows-only check; recall vs brute force asserted in tests."""
     qids, qmat = _query_matrix(sf_dir)
     cent = _train_ivf_centroids(sf_dir)
     partials = read_embeddings(sf_dir, columns=["vec_id", "embedding"]).map_batches(
@@ -327,16 +358,7 @@ def q_knn_ivf(sf_dir: str):
         concurrency=pool(),
         num_cpus=1,
     )
-    parts = [t for t in (ray.get(r) for r in partials.to_arrow_refs()) if t.num_rows]
-    if not parts:
-        return pa.table(
-            {
-                "query_id": pa.array([], pa.int64()),
-                "neighbor_id": pa.array([], pa.int64()),
-                "cos": pa.array([], pa.float64()),
-            }
-        )
-    return _final_topk(pa.concat_tables(parts))
+    return _final_topk(partials)
 
 
 EMB_DUP_THRESHOLD = 0.3  # synthetic 64-dim embeddings: random cosines

@@ -5,7 +5,8 @@ The reference loops cosine_similarity over every Urls row in Python. Here
 the scan is a Ray Data pipeline over the staged tokenized docs: the target
 doc's vector broadcasts via constructor args, each batch computes one
 matmul of L2-normalized logprob^5 count vectors (functions/vectorize), and
-partial top-k rows reduce driver-side — same shape as the embedding kNN.
+partial top-k rows collapse in a distributed grouped reduce — same shape
+as the embedding kNN (pipelines/similarity).
 """
 
 from __future__ import annotations
@@ -71,18 +72,33 @@ def neighbour_docs(index_dir: str, url: str, k: int = 50) -> pa.Table:
         concurrency=pool(),
         num_cpus=1,
     )
-    import ray
 
-    parts = [x for x in (ray.get(r) for r in partials.to_arrow_refs()) if x.num_rows]
-    allp = pa.concat_tables(parts)
-    ids = allp["doc_id"].to_numpy()
-    cos = allp["cos"].to_numpy()
-    keep = ids != target_id
-    ids, cos = ids[keep], cos[keep]
-    order = np.lexsort((ids, -cos))[:k]
-    return pa.table(
-        {
-            "doc_id": pa.array(ids[order], pa.int64()),
-            "cos": pa.array(np.round(cos[order], 6), pa.float64()),
-        }
+    # distributed final reduce (same shape as pipelines/similarity): the
+    # per-block partials (≤ k+1 rows each) collapse in a grouped stage, so
+    # only the final k rows ever reach the driver
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("g", pa.array(np.zeros(len(t), np.int8)))
+
+    def final(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy()
+        cos = group["cos"].to_numpy()
+        keep = ids != target_id
+        ids, cos = ids[keep], cos[keep]
+        order = np.lexsort((ids, -cos))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "cos": pa.array(np.round(cos[order], 6), pa.float64()),
+            }
+        )
+
+    reduced = (
+        partials.map_batches(tag, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(final, batch_format="pyarrow")
     )
+    try:
+        return reduced.take_batch(k, batch_format="pyarrow")
+    except (ValueError, StopIteration):  # corpus held only the target doc
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "cos": pa.array([], pa.float64())})

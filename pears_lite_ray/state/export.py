@@ -67,6 +67,17 @@ def _stamp(d: str, fp: dict, rows: int) -> None:
     os.replace(_manifest_path(d) + ".tmp", _manifest_path(d))
 
 
+def _clean_partition(d: str) -> None:
+    """Remove a stale/partial partition before recomputing it. Ray 2.49's
+    ``write_parquet`` APPENDS with fresh per-run UUID filenames, so a
+    crashed or invalidated shard re-written without this cleanup would
+    hold BOTH the leftover files and the new copy — duplicated rows in
+    exactly the resume scenario the manifest exists for."""
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+
+
 def _shard_pipeline(fn, sf_dir: str, shard: int, n_shards: int):
     """Build a per-doc pipeline over the ``doc_id % n_shards == shard``
     slice: the doc_shard context makes read_documents apply the slice
@@ -95,6 +106,7 @@ def export_pipeline(name: str, fn, sf_dir: str, out_dir: str,
             if _is_done(d, fp):
                 skipped.append(f"shard={i}")
                 continue
+            _clean_partition(d)
             os.makedirs(d, exist_ok=True)
             out = _shard_pipeline(fn, sf_dir, i, n_shards)
             if isinstance(out, pa.Table):  # defensive: all per-doc
@@ -108,6 +120,7 @@ def export_pipeline(name: str, fn, sf_dir: str, out_dir: str,
         if _is_done(d, fp):
             skipped.append("full")
         else:
+            _clean_partition(d)
             os.makedirs(d, exist_ok=True)
             out = fn(sf_dir)
             if isinstance(out, pa.Table):

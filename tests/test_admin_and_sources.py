@@ -153,6 +153,30 @@ def test_rename_url_updates_metadata_not_postings(admin_index):
     assert res2["score"][0].as_py() == res["score"][0].as_py()
 
 
+def test_delete_after_rename_resolves_doc(admin_index):
+    """D3 then D1: deleting by the NEW (user-visible) url must tombstone
+    the doc even though its doc_id is the hash of the ORIGINAL url — the
+    staging url→doc_id lookup in delete_urls catches renamed docs (round-2
+    ADVICE: the plain hash silently no-opped)."""
+    from pears_lite_ray.index.admin import rename_url
+    from pears_lite_ray.index.maintenance import delete_urls
+    from pears_lite_ray.query.engine import QueryEngine
+    from pears_lite_ray.sources.fixtures import HOT_TERM
+
+    eng = QueryEngine(admin_index)
+    res = eng.search(HOT_TERM, 5)
+    src = res["url"][1].as_py()
+    doc = res["doc_id"][1].as_py()
+    target = src + "-moved"
+    assert rename_url(admin_index, src, target) >= 1
+
+    tombs = delete_urls(admin_index, [target])
+    assert doc in set(int(x) for x in tombs)
+    eng2 = QueryEngine(admin_index)
+    docs2, _ = eng2.search_scores(HOT_TERM, 50)
+    assert doc not in docs2.tolist()
+
+
 def test_delete_pod_tombstones_and_drops_row(admin_index):
     import pyarrow.parquet as pq
 

@@ -55,11 +55,18 @@ def test_export_per_doc_sharded_and_resumable(export_docs_dir, tmp_path):
     r2 = export_pipeline("quality", q_quality, export_docs_dir, out, n_shards=4)
     assert not r2["computed"] and len(r2["skipped"]) == 4
 
-    # kill one shard's manifest → only that shard recomputes
+    # kill one shard's manifest (the crash-mid-shard scenario: partial
+    # parquet leftovers, no manifest) → only that shard recomputes, and the
+    # recompute must NOT append alongside the leftovers (write_parquet
+    # appends with fresh UUID filenames — the shard dir is cleaned first)
     os.remove(os.path.join(out, "shard=2", "_manifest.json"))
     r3 = export_pipeline("quality", q_quality, export_docs_dir, out, n_shards=4)
     assert r3["computed"] == ["shard=2"]
     assert len(r3["skipped"]) == 3
+    s2 = pads.dataset(os.path.join(out, "shard=2")).to_table()
+    ids2 = sorted(s2["doc_id"].to_pylist())
+    assert ids2 == sorted(set(ids2)), "resumed shard duplicated rows"
+    assert ids2 == [d for d in range(120) if d % 4 == 2]
 
     # input change invalidates manifests (fingerprint mismatch)
     m = json.load(open(os.path.join(out, "shard=0", "_manifest.json")))
@@ -67,6 +74,15 @@ def test_export_per_doc_sharded_and_resumable(export_docs_dir, tmp_path):
     json.dump(m, open(os.path.join(out, "shard=0", "_manifest.json"), "w"))
     r4 = export_pipeline("quality", q_quality, export_docs_dir, out, n_shards=4)
     assert r4["computed"] == ["shard=0"]
+    s0b = pads.dataset(os.path.join(out, "shard=0")).to_table()
+    ids0 = sorted(s0b["doc_id"].to_pylist())
+    assert ids0 == sorted(set(ids0)), "invalidated shard duplicated rows"
+
+    # whole-dataset union is still exactly the unsharded pipeline after
+    # both resume paths
+    exported2 = pads.dataset(out, format="parquet").to_table()
+    got2 = exported2.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got2.equals(direct.reset_index(drop=True))
 
 
 def test_export_cross_doc_single_unit(export_docs_dir, tmp_path):

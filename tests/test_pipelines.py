@@ -15,6 +15,16 @@ WORDS = (
 ).split()
 
 
+def _tbl(x) -> pa.Table:
+    """Normalize a pipeline result (Dataset or Table) to a pa.Table — the
+    knn entries return lazy Datasets since the distributed top-k reduce."""
+    import ray.data as rd
+
+    if isinstance(x, rd.Dataset):
+        return pa.Table.from_pandas(x.to_pandas())
+    return x
+
+
 @pytest.fixture(scope="module")
 def planted_docs_dir(tmp_path_factory):
     """documents.parquet with: 0/1 exact dups, 2/3 near dups (1-word edit),
@@ -104,7 +114,7 @@ def test_simhash_near_dups_close(ray_session, planted_docs_dir):
 def test_knn_cosine_finds_planted_neighbor(ray_session, planted_docs_dir):
     from pears_lite_ray.pipelines.similarity import q_knn_cosine
 
-    t = q_knn_cosine(planted_docs_dir)
+    t = _tbl(q_knn_cosine(planted_docs_dir))
     rows = [
         (q, n, c)
         for q, n, c in zip(t["query_id"].to_pylist(),
@@ -120,8 +130,8 @@ def test_knn_cosine_finds_planted_neighbor(ray_session, planted_docs_dir):
 def test_knn_lsh_overlaps_bruteforce(ray_session, planted_docs_dir):
     from pears_lite_ray.pipelines.similarity import q_knn_cosine, q_knn_lsh
 
-    bf = q_knn_cosine(planted_docs_dir)
-    lsh = q_knn_lsh(planted_docs_dir)
+    bf = _tbl(q_knn_cosine(planted_docs_dir))
+    lsh = _tbl(q_knn_lsh(planted_docs_dir))
 
     def tops(t):
         d = {}
@@ -184,7 +194,7 @@ def test_knn_ivf_recalls_planted(ray_session, planted_docs_dir):
     shares query 0's centroid by construction) and overlaps brute force."""
     from pears_lite_ray.pipelines.similarity import q_knn_cosine, q_knn_ivf
 
-    ivf = q_knn_ivf(planted_docs_dir)
+    ivf = _tbl(q_knn_ivf(planted_docs_dir))
     rows = {
         q: (n, c)
         for q, n, c in zip(ivf["query_id"].to_pylist(),
@@ -195,7 +205,7 @@ def test_knn_ivf_recalls_planted(ray_session, planted_docs_dir):
     }
     assert rows[0][0] == 7 and rows[0][1] > 0.99
 
-    bf = q_knn_cosine(planted_docs_dir)
+    bf = _tbl(q_knn_cosine(planted_docs_dir))
     def tops(t):
         d = {}
         for q, n, c in zip(t["query_id"].to_pylist(), t["neighbor_id"].to_pylist(),
