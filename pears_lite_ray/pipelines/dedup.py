@@ -29,11 +29,14 @@ Large-scale-training-pipeline staples, each in its scalable Ray Data shape
 
 from __future__ import annotations
 
+import logging
 import os
 
 import numpy as np
 import pyarrow as pa
 from ray.data.aggregate import Min
+
+_LOG = logging.getLogger("pears_lite_ray.dedup")
 
 from .common import (
     SQL_TOKENS,
@@ -54,6 +57,9 @@ MINHASH_PERMS = 64
 MINHASH_BANDS = 8  # 8 rows per band
 # At scale: a shingle shared by more than this many docs is dropped from
 # pair generation (it only produces near-universal boilerplate pairs).
+# NEVER silent: each capped group emits a marker row, the reduce logs the
+# aggregate drop count, and jaccard_dropped_shingles() /
+# lsh_dropped_buckets() report the exact dropped set.
 HOT_SHINGLE_CAP = 1000
 # Floor for the equi-join partition count; joins size themselves from the
 # input data (see join_partitions) because each partition costs a standing
@@ -154,7 +160,7 @@ def q_exact_dedup(sf_dir: str):
 
 # -- n-gram Jaccard ----------------------------------------------------------
 
-def q_jaccard_pairs(sf_dir: str):
+def q_jaccard_pairs(sf_dir: str, hot_cap: int = HOT_SHINGLE_CAP):
     """All doc pairs sharing ≥1 3-word shingle, with exact Jaccard over
     distinct-shingle sets. Pair generation via the shingle inverted index
     (groupby shingle-hash → within-group pairs); each exploded row carries
@@ -195,12 +201,21 @@ def q_jaccard_pairs(sf_dir: str):
         nsh = group["nsh"].to_numpy()
         order = np.argsort(docs)
         docs, nsh = docs[order], nsh[order]
-        if docs.size < 2 or docs.size > HOT_SHINGLE_CAP:
+        if docs.size < 2:
             return pa.table({"bucket": pa.array([], pa.int32()),
                              "doc_a": pa.array([], pa.int64()),
                              "doc_b": pa.array([], pa.int64()),
                              "na": pa.array([], pa.int64()),
                              "nb": pa.array([], pa.int64())})
+        if docs.size > hot_cap:
+            # hot-shingle drop is REPORTED, not silent: one marker row per
+            # dropped shingle rides to the bucket=-1 group, whose reduce
+            # logs the aggregate count (exact set: jaccard_dropped_shingles)
+            return pa.table({"bucket": pa.array([-1], pa.int32()),
+                             "doc_a": pa.array([-1], pa.int64()),
+                             "doc_b": pa.array([int(docs.size)], pa.int64()),
+                             "na": pa.array([0], pa.int64()),
+                             "nb": pa.array([0], pa.int64())})
         ia, ib = np.triu_indices(docs.size, k=1)
         a, b = docs[ia], docs[ib]
         return pa.table(
@@ -214,6 +229,18 @@ def q_jaccard_pairs(sf_dir: str):
         )
 
     def combine(group: pa.Table) -> pa.Table:
+        if int(group["bucket"][0].as_py()) == -1:  # hot-shingle markers
+            sizes = group["doc_b"].to_numpy()
+            _LOG.warning(
+                "jaccard_pairs: dropped %d hot shingles over the %d-doc cap "
+                "(largest shared by %d docs); exact set via "
+                "jaccard_dropped_shingles()",
+                len(group), hot_cap, int(sizes.max()),
+            )
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "inter": pa.array([], pa.int64()),
+                             "jaccard": pa.array([], pa.float64())})
         a = group["doc_a"].to_numpy()
         b = group["doc_b"].to_numpy()
         na = group["na"].to_numpy()
@@ -241,6 +268,38 @@ def q_jaccard_pairs(sf_dir: str):
         .groupby("bucket")
         .map_groups(combine, batch_format="pyarrow")
     )
+
+
+def jaccard_dropped_shingles(sf_dir: str, hot_cap: int = HOT_SHINGLE_CAP):
+    """(shingle, n_docs) for every shingle the hot cap drops from
+    q_jaccard_pairs — the no-silent-caps report. Per-batch partial
+    distinct-doc counts, a tiny groupby-sum, filter > cap; output size is
+    the number of boilerplate shingles, never corpus-sized."""
+    from ray.data.aggregate import Sum
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        toks, _ = tokens_per_row(batch)
+        rows, hs = shingle_stream(toks, JACCARD_NGRAM)
+        _, v, _ = distinct_per_row(rows, hs)
+        u, cnt = np.unique(v, return_counts=True)
+        return pa.table(
+            {
+                "shingle": pa.array(u.view(np.int64), pa.int64()),
+                "n_p": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    ds = (
+        read_documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("shingle")
+        .aggregate(Sum("n_p", alias_name="n_docs"))
+    )
+
+    def keep_hot(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(t["n_docs"].to_numpy() > hot_cap))
+
+    return ds.map_batches(keep_hot, batch_format="pyarrow")
 
 
 # -- MinHash + LSH -----------------------------------------------------------
@@ -333,7 +392,7 @@ class MinHashStage:
         )
 
 
-def q_minhash_lsh(sf_dir: str):
+def q_minhash_lsh(sf_dir: str, hot_cap: int = HOT_SHINGLE_CAP):
     """LSH candidate pairs (same band signature in any band), verified with
     exact shingle Jaccard — all stages distributed, ONE pass over the
     corpus: the banding stage also emits each doc's shingle-set blob; the
@@ -351,10 +410,16 @@ def q_minhash_lsh(sf_dir: str):
 
     def pairs_of_bucket(group: pa.Table) -> pa.Table:
         docs = np.unique(np.asarray(group["doc_id"].to_numpy(), dtype=np.int64))
-        if docs.size < 2 or docs.size > HOT_SHINGLE_CAP:
+        if docs.size < 2:
             return pa.table({"bucket": pa.array([], pa.int32()),
                              "doc_a": pa.array([], pa.int64()),
                              "doc_b": pa.array([], pa.int64())})
+        if docs.size > hot_cap:
+            # reported drop (see HOT_SHINGLE_CAP): marker to bucket=-1,
+            # logged in dedupe; exact set via lsh_dropped_buckets()
+            return pa.table({"bucket": pa.array([-1], pa.int32()),
+                             "doc_a": pa.array([-1], pa.int64()),
+                             "doc_b": pa.array([int(docs.size)], pa.int64())})
         ia, ib = np.triu_indices(docs.size, k=1)
         a, b = docs[ia], docs[ib]
         return pa.table(
@@ -366,6 +431,16 @@ def q_minhash_lsh(sf_dir: str):
         )
 
     def dedupe(group: pa.Table) -> pa.Table:
+        if int(group["bucket"][0].as_py()) == -1:  # hot-bucket markers
+            sizes = group["doc_b"].to_numpy()
+            _LOG.warning(
+                "minhash_lsh: dropped %d hot LSH buckets over the %d-doc "
+                "cap (largest held %d docs); exact set via "
+                "lsh_dropped_buckets()",
+                len(group), hot_cap, int(sizes.max()),
+            )
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
         a = group["doc_a"].to_numpy()
         b = group["doc_b"].to_numpy()
         order = np.lexsort((b, a))
@@ -385,12 +460,22 @@ def q_minhash_lsh(sf_dir: str):
         .map_groups(pairs_of_bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(dedupe, batch_format="pyarrow")
-    )
+    ).materialize()  # compact candidate set; also guards the empty case
+    if cand.count() == 0:
+        # no candidates at all (e.g. every bucket capped or singleton):
+        # the verify joins would crash on schema-less empty inputs
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
 
-    joined = cand.join(
+    half = cand.join(
         sets, join_type="inner", num_partitions=JOIN_PARTITIONS,
         on=("doc_a",), right_on=("doc_id",),
-    ).rename_columns({"shset": "shset_a"}).join(
+    ).rename_columns({"shset": "shset_a"})
+    # _scrub again: join partitions that matched nothing emit schema-less
+    # empty blocks (same Ray 2.49 quirk as aggregate), which the SECOND
+    # join rejects when the candidate set is sparse
+    joined = _scrub(half).join(
         sets, join_type="inner", num_partitions=JOIN_PARTITIONS,
         on=("doc_b",), right_on=("doc_id",),
     ).rename_columns({"shset": "shset_b"})
@@ -417,6 +502,28 @@ def q_minhash_lsh(sf_dir: str):
         )
 
     return joined.map_batches(verify, batch_format="pyarrow")
+
+
+def lsh_dropped_buckets(sf_dir: str, hot_cap: int = HOT_SHINGLE_CAP):
+    """(band, band_key, n_docs) for every LSH band bucket the hot cap drops
+    from q_minhash_lsh — the no-silent-caps report (diagnostic pass; output
+    is the handful of degenerate buckets, e.g. the empty-shingle-set key)."""
+    from ray.data.aggregate import Count
+
+    bands = (
+        read_documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(MinHashStage, batch_format="pyarrow",
+                     concurrency=pool(), num_cpus=1)
+        .filter(expr="band >= 0")
+        .select_columns(["band", "band_key"])
+        .groupby(["band", "band_key"])
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+    def keep_hot(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(t["n_docs"].to_numpy() > hot_cap))
+
+    return bands.map_batches(keep_hot, batch_format="pyarrow")
 
 
 # -- SimHash -----------------------------------------------------------------

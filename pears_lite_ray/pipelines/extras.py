@@ -18,7 +18,8 @@ Entries with exact SQL semantics get DuckDB oracles:
                  so image features, audio RMS and frame means replicate in
                  SQL via ord() byte extraction.
 
-Rows-only (not ANSI-SQL-expressible): pods_route (feature-hash centroids).
+Rows-only (not ANSI-SQL-expressible): pods_route (feature-hash centroids)
+and bm25_topk_spm (the SPM Viterbi tokenizer path, M4).
 """
 
 from __future__ import annotations
@@ -165,6 +166,56 @@ def q_compact_bm25(sf_dir: str):
         with open(marker, "w") as f:
             f.write("done")
     return _bm25_rows(out)
+
+
+# -- M4 driver coverage: the SPM tokenizer path ------------------------------
+
+SPM_SLICE_MOD = 5  # index the doc_id % 5 == 0 slice (bounds bench cost)
+
+
+def _spm_subset_index(sf_dir: str) -> str:
+    """SPM-vocab index over the ``doc_id % 5 == 0`` slice of documents."""
+    import pyarrow.parquet as pq
+
+    from ..index.build import build_index
+
+    out = _cache_dir(sf_dir, "idx-spm")
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        src = _cache_dir(sf_dir, "spm-src") + ".parquet"
+        os.makedirs(os.path.dirname(src), exist_ok=True)
+        t = pq.read_table(documents_path(sf_dir))
+        t = t.filter(pa.array(t["doc_id"].to_numpy() % SPM_SLICE_MOD == 0))
+        pq.write_table(t, src)
+        build_index([src], BuildConfig(out_dir=out))  # default = SPM vocab
+    return out
+
+
+def q_bm25_topk_spm(sf_dir: str):
+    """BM25 top-k with the SPM Viterbi tokenizer — the tokenizer the
+    reference actually uses (M4, mk_page_vector.py) — over an SPM-built
+    index of the doc_id %% 5 slice. Rows-only driver check: per-word
+    Viterbi segmentation over the 16k-piece vocab is not ANSI-SQL-
+    expressible; SPM↔golden conformance stays pytest-checked
+    (tests/test_vocab.py)."""
+    from ..query.engine import QueryEngine
+
+    idx = _spm_subset_index(sf_dir)
+    eng = QueryEngine(idx, mode="bm25")
+    qids, ranks, dids, scores = [], [], [], []
+    for qid, q in BM25_QUERIES:
+        d, s = eng.search_scores(q, BM25_TOP_K)
+        qids.extend([qid] * d.size)
+        ranks.extend(range(d.size))
+        dids.extend(d.tolist())
+        scores.extend(np.round(s, 6).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int32()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(dids, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
 
 
 # -- Q9: pod routing ---------------------------------------------------------
@@ -431,6 +482,7 @@ FROM px GROUP BY doc_id"""
 
 QUERIES = {
     "csv_docs": q_csv_docs,
+    "bm25_topk_spm": q_bm25_topk_spm,
     "merge_bm25": q_merge_bm25,
     "compact_bm25": q_compact_bm25,
     "pods_route": q_pods_route,

@@ -147,6 +147,78 @@ def test_knn_lsh_overlaps_bruteforce(ray_session, planted_docs_dir):
     assert overlap > 0
 
 
+def test_hot_shingle_cap_reported_not_silent(ray_session, tmp_path_factory):
+    """A shingle shared by more docs than the cap is dropped from pair
+    generation AND reported (no-silent-caps): jaccard_dropped_shingles
+    returns exactly the dropped set; below-cap pairs survive; the default
+    cap keeps everything."""
+    from pears_lite_ray.pipelines.dedup import (
+        jaccard_dropped_shingles,
+        q_jaccard_pairs,
+    )
+
+    d = str(tmp_path_factory.mktemp("hotcap"))
+    # docs 0-3 share ONLY the opening shingle "alpha bravo charlie"
+    # (pairwise-distinct tails); docs 4-5 share "delta echo foxtrot"
+    texts = [
+        "alpha bravo charlie " + t
+        for t in ("golf hotel india", "juliet kilo lima",
+                  "mike november oscar", "papa quebec romeo")
+    ] + [
+        "delta echo foxtrot sierra tango",
+        "delta echo foxtrot uniform victor",
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        os.path.join(d, "documents.parquet"),
+    )
+
+    pairs = q_jaccard_pairs(d, hot_cap=3).to_pandas()
+    assert set(zip(pairs.doc_a, pairs.doc_b)) == {(4, 5)}
+
+    dropped = jaccard_dropped_shingles(d, hot_cap=3).to_pandas()
+    assert len(dropped) == 1 and int(dropped.n_docs.iloc[0]) == 4
+
+    full = q_jaccard_pairs(d).to_pandas()  # default cap: nothing dropped
+    expect = {(a, b) for a in range(4) for b in range(a + 1, 4)} | {(4, 5)}
+    assert set(zip(full.doc_a, full.doc_b)) == expect
+
+
+def test_lsh_hot_bucket_cap_reported(ray_session, tmp_path_factory):
+    """LSH band buckets over the cap are dropped from candidate generation
+    and reported by lsh_dropped_buckets."""
+    from pears_lite_ray.pipelines.dedup import (
+        MINHASH_BANDS,
+        lsh_dropped_buckets,
+        q_minhash_lsh,
+    )
+
+    d = str(tmp_path_factory.mktemp("lshcap"))
+    same = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    texts = [same] * 4 + [
+        "kilo lima mike november oscar papa quebec romeo sierra tango",
+        "kilo lima mike november oscar papa quebec romeo sierra uniform",
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        os.path.join(d, "documents.parquet"),
+    )
+
+    capped = q_minhash_lsh(d, hot_cap=3).to_pandas()
+    ident = {(a, b) for a in range(4) for b in range(a + 1, 4)}
+    assert not (set(zip(capped.doc_a, capped.doc_b)) & ident)
+
+    dropped = lsh_dropped_buckets(d, hot_cap=3).to_pandas()
+    # the 4 identical docs share every band bucket
+    assert len(dropped) == MINHASH_BANDS
+    assert (dropped.n_docs == 4).all()
+
+    full = q_minhash_lsh(d).to_pandas()  # default cap keeps them
+    assert ident <= set(zip(full.doc_a, full.doc_b))
+
+
 def test_langid_and_fingerprint_shapes(ray_session, planted_docs_dir):
     from pears_lite_ray.pipelines.textstats import q_fingerprint, q_langid
 

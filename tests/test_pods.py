@@ -97,3 +97,50 @@ def test_pod_doc_counts_match_staging(pod_index):
             columns=["doc_id"], filter=pc.equal(pc.field("pod"), pod)
         ).num_rows
         assert got == n, pod
+
+
+def test_score_experts_matches_transcription(pod_index):
+    """Q11 (reference app/search/score_pages.py:30-43): target doc vector
+    vs every doc of the expert pod, cosine ≥ 0.05, top-k with urls —
+    checked against a direct numpy transcription over the staged vectors."""
+    from collections import Counter
+
+    from pears_lite_ray.functions.vectorize import doc_vectors_batch
+    from pears_lite_ray.index.segments import IndexStats
+    from pears_lite_ray.query.neighbours import score_experts
+    from pears_lite_ray.stages.extract import url_doc_id
+    from pears_lite_ray.vocab import Vocab
+
+    staging = pq.read_table(os.path.join(pod_index, "staging"),
+                            columns=["doc_id", "url", "pod", "term_ids"])
+    pods = staging["pod"].to_pylist()
+    urls = staging["url"].to_pylist()
+    expert_pod = Counter(pods).most_common(1)[0][0]
+    target_url = next(u for u, p in zip(urls, pods) if p != expert_pod)
+    target_id = url_doc_id(target_url)
+
+    got = score_experts(pod_index, target_url, expert_pod=expert_pod, k=10)
+
+    # transcription: cosine of the target's vector vs the pod's vectors,
+    # 0.05 floor, dedup per doc_id (max cos), (cos desc, id asc) top-10
+    stats = IndexStats(os.path.join(pod_index, "stats.json"))
+    vocab = Vocab.load(stats.vocab_path)
+    vecs = doc_vectors_batch(staging, vocab)
+    ids = staging["doc_id"].to_numpy()
+    tvec = vecs[ids == target_id][0]
+    in_pod = np.array([p == expert_pod for p in pods])
+    keep = in_pod & (ids != target_id)
+    cid, ccos = ids[keep], vecs[keep] @ tvec
+    thr = ccos >= 0.05
+    cid, ccos = cid[thr], ccos[thr]
+    order = np.lexsort((cid, -ccos))
+    cid, ccos = cid[order], ccos[order]
+    first = np.sort(np.unique(cid, return_index=True)[1])
+    cid, ccos = cid[first], ccos[first]
+    order = np.lexsort((cid, -np.round(ccos, 6)))[:10]
+    assert got["doc_id"].to_pylist() == cid[order].tolist()
+    assert np.allclose(got["cos"].to_numpy(), np.round(ccos[order], 6))
+    # every returned url really is in the expert pod
+    url_by_id = dict(zip(ids.tolist(), urls))
+    for d, u in zip(got["doc_id"].to_pylist(), got["url"].to_pylist()):
+        assert url_by_id[int(d)] == u
