@@ -144,44 +144,96 @@ def _meta_blocks(cfg: BuildConfig) -> int:
     return int(max(4, min(by_size, 4 * cpus)))
 
 
-def dedup_and_stats(cfg: BuildConfig) -> tuple[dict, np.ndarray, pa.Table | None]:
-    """Phase 2 → (stats, dup_doc_ids_sorted, winners_table[staging schema]).
+# Duplicate groups above this many ROWS are not pulled driver-side: the
+# "dups are rare" broadcast-filter fast path gives way to a distributed
+# groupby(doc_id) winner resolution (a dup-heavy crawl — 30-50% url dups
+# is common at scale — would otherwise OOM the driver).
+DUP_DRIVER_ROW_CAP = 1_000_000
+
+
+def dedup_and_stats(cfg: BuildConfig) -> tuple[dict, np.ndarray, dict | None, dict | None]:
+    """Phase 2 → (stats, dup_doc_ids_sorted, winner_ts, winner_url).
 
     One groupby over the doc_id column finds cross-partition duplicates; one
     unfiltered aggregate computes row/token totals; dup groups (rare) are
     pulled driver-side with a parquet predicate and the totals adjusted by
     the losers — no second filtered scan of the staging data.
-    """
+
+    ``winner_ts is None`` signals the DISTRIBUTED path: the duplicate set
+    exceeded DUP_DRIVER_ROW_CAP, nothing dup-related was pulled to the
+    driver, stats were computed by a distributed per-doc winner aggregate,
+    and the caller must resolve winners with ``_filter_winners(ds,
+    dup_ids, None, None)`` (a groupby(doc_id) argmax) instead of the
+    broadcast filter."""
     nb = _meta_blocks(cfg)
+    per_block_cap = max(1, DUP_DRIVER_ROW_CAP // nb)
 
     def summarize(t: pa.Table) -> pa.Table:
-        """Per grouped block: one totals row (doc_id = -1) + the dup rows.
-
-        Collapses the grouped per-doc table to a few rows per block so ONE
-        dataset job yields both the duplicate id set and the global totals
-        (three separate jobs cost ~1 s of driver overhead each)."""
+        """Per grouped block: one totals row (doc_id = -1), one dup-count
+        marker row (doc_id = -2: cnt = #dup ids, dl = #dup rows), and the
+        dup rows themselves ONLY while the block is under the driver-pull
+        cap — an over-cap block emits just its marker, so the driver pull
+        stays bounded no matter how dup-heavy the corpus is."""
         dups = t.filter(pc.greater(t["cnt"], 1))
-        totals = pa.table(
+        head = pa.table(
             {
-                "doc_id": pa.array([-1], pa.int64()),
-                "cnt": pa.array([int(pc.sum(t["cnt"]).as_py() or 0)], pa.int64()),
-                "dl": pa.array([int(pc.sum(t["dl"]).as_py() or 0)], pa.int64()),
+                "doc_id": pa.array([-1, -2], pa.int64()),
+                "cnt": pa.array(
+                    [int(pc.sum(t["cnt"]).as_py() or 0), dups.num_rows],
+                    pa.int64(),
+                ),
+                "dl": pa.array(
+                    [int(pc.sum(t["dl"]).as_py() or 0),
+                     int(pc.sum(dups["cnt"]).as_py() or 0)],
+                    pa.int64(),
+                ),
             }
         )
-        return pa.concat_tables([totals, dups.select(["doc_id", "cnt", "dl"])])
+        if dups.num_rows > per_block_cap:
+            return head
+        return pa.concat_tables([head, dups.select(["doc_id", "cnt", "dl"])])
 
     summary = (
         _staging_ds(cfg, ["doc_id", "doclen"], nb)
-        .groupby("doc_id")
+        # data-sized partitions: the default 200-partition hash aggregate
+        # spawns up to 64 aggregator actors for a metadata-column shuffle
+        .groupby("doc_id", num_partitions=nb)
         .aggregate(Count(alias_name="cnt"), Sum("doclen", alias_name="dl"))
         .map_batches(summarize, batch_format="pyarrow")
         .to_pandas()
     )
-    totals = summary[summary["doc_id"] < 0]
+    totals = summary[summary["doc_id"] == -1]
+    markers = summary[summary["doc_id"] == -2]
     dup_pdf = summary[summary["doc_id"] >= 0]
-    dup_ids = np.sort(dup_pdf["doc_id"].to_numpy()) if len(dup_pdf) else np.empty(0, np.int64)
+    n_dup_ids = int(markers["cnt"].sum())
+    n_dup_rows = int(markers["dl"].sum())
     n = int(totals["cnt"].sum())
     sum_dl = int(totals["dl"].sum())
+
+    if n_dup_ids != len(dup_pdf) or n_dup_rows > DUP_DRIVER_ROW_CAP:
+        # over the cap: resolve winners distributed — one metadata-column
+        # groupby picks each doc's (warc_ts desc, url asc) winner and
+        # aggregates exact n / sum_dl; no dup data touches the driver
+        agg = (
+            _filter_winners(
+                _staging_ds(cfg, ["doc_id", "warc_ts", "url", "doclen"], nb),
+                np.array([0], dtype=np.int64), None, None,
+                num_partitions=nb,
+            )
+            .aggregate(Count(alias_name="n"), Sum("doclen", alias_name="sum_dl"))
+        )
+        n_win = int(agg["n"] or 0)
+        dl_win = int(agg["sum_dl"] or 0)
+        stats = {
+            "n_docs": n_win,
+            "avgdl": (dl_win / n_win) if n_win else 0.0,
+            "total_postings": dl_win,
+            "n_duplicate_doc_ids": n_dup_ids,
+            "dup_resolution": "distributed",
+        }
+        return stats, np.array([0], dtype=np.int64), None, None
+
+    dup_ids = np.sort(dup_pdf["doc_id"].to_numpy()) if len(dup_pdf) else np.empty(0, np.int64)
 
     winner_ts: dict[int, int] = {}
     winner_url: dict[int, str] = {}
@@ -223,16 +275,41 @@ def dedup_and_stats(cfg: BuildConfig) -> tuple[dict, np.ndarray, pa.Table | None
     return stats, dup_ids, winner_ts, winner_url
 
 
-def _filter_winners(ds, dup_ids: np.ndarray, winner_ts: dict, winner_url: dict):
+def _filter_winners(ds, dup_ids: np.ndarray, winner_ts: dict | None,
+                    winner_url: dict | None, num_partitions: int | None = None):
     """Drop duplicate-id LOSER rows via the broadcast winner-key maps — a
     semi-join as a stateless filter, no union / re-shipping of winner rows.
 
     Rows whose (doc_id, warc_ts[, url]) equals the winner key pass through
     where they already are. Exact-identity duplicates (same id, ts AND url
     in different partitions) both survive here; the term merge drops the
-    repeat deterministically (identical rows ⇒ identical postings)."""
+    repeat deterministically (identical rows ⇒ identical postings).
+
+    ``winner_ts is None`` = the DISTRIBUTED path (dup set over
+    DUP_DRIVER_ROW_CAP): a groupby(doc_id) argmax picks each doc's
+    (warc_ts desc, url asc) winner row — an honest full shuffle of ``ds``,
+    the right cost in a dup-heavy crawl where no broadcast fits."""
     if not dup_ids.size:
         return ds
+    if winner_ts is None:
+        import ray
+
+        if num_partitions is None:
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+            num_partitions = 4 * cpus
+
+        def pick_winner(group: pa.Table) -> pa.Table:
+            drop = [c for c in ("warc_ts", "url") if c in group.column_names]
+            if len(group) == 1:
+                return group.drop_columns(drop)
+            ts = group["warc_ts"].cast(pa.int64()).to_numpy()
+            urls = np.asarray(group["url"].to_pylist(), dtype=object)
+            best = np.lexsort((urls, -ts))[0]
+            return group.take(pa.array([best])).drop_columns(drop)
+
+        return ds.groupby("doc_id", num_partitions=num_partitions).map_groups(
+            pick_winner, batch_format="pyarrow"
+        )
     dup_set = pa.array(dup_ids)
 
     def keep_winners(t: pa.Table) -> pa.Table:
@@ -280,7 +357,7 @@ def build_index(input_paths: list[str], cfg: BuildConfig) -> dict:
     post_cols = list(POSTING_COLS)
     if dup_ids.size:  # winner filter needs the timestamp (and url on ties)
         post_cols.append("warc_ts")
-        if winner_url:
+        if winner_url or winner_ts is None:  # distributed argmax needs both
             post_cols.append("url")
     post = _staging_ds(cfg, post_cols)
     post = _filter_winners(post, dup_ids, winner_ts, winner_url)

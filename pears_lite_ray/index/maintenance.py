@@ -111,7 +111,7 @@ def compact(index_dir: str, cfg: BuildConfig | None = None) -> dict:
     meta_cols = ["doc_id", "doclen"]
     if dup_ids.size:
         meta_cols.append("warc_ts")
-        if winner_url:
+        if winner_url or winner_ts is None:  # distributed argmax needs both
             meta_cols.append("url")
     agg = (
         B._filter_winners(
@@ -128,7 +128,7 @@ def compact(index_dir: str, cfg: BuildConfig | None = None) -> dict:
     post_cols = list(B.POSTING_COLS)
     if dup_ids.size:
         post_cols.append("warc_ts")
-        if winner_url:
+        if winner_url or winner_ts is None:  # distributed argmax needs both
             post_cols.append("url")
     post = B._filter_winners(
         B._staging_ds(cfg, post_cols).map_batches(

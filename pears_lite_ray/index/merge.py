@@ -7,9 +7,14 @@ is a UNION of two already-built segment tables: read both as Ray datasets,
 ``ds.union``, re-group by term — ``ConcatSubSegments`` already merges
 arbitrary per-term sub-lists (ordered ranges concatenate; overlapping
 ranges fall back to an exact re-merge), so cross-index doc interleaving
-needs no special path. Stats recombine additively; duplicate doc_ids across
-indexes (same url indexed in both) keep the first occurrence
-deterministically in the merge.
+needs no special path. Stats recombine additively.
+
+Duplicate doc_ids across indexes (same url indexed in both) resolve to a
+SINGLE winner — index A by precedence: identical-content copies collapse
+via the merge's byte-identical first-occurrence dedup, and copies with
+DIFFERENT content (detected by a distributed content-signature scan; only
+the conflicting ids reach the driver) drop index B's postings and staging
+rows, so postings, doclens and stats all describe A's version.
 """
 
 from __future__ import annotations
@@ -18,11 +23,30 @@ import json
 import os
 import shutil
 
+import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
 from ..config import BM25_B, BM25_K1, BuildConfig
 from ..stages.postings import ConcatSubSegments
+
+
+def _staging_partitions(*dirs: str) -> int:
+    """Data-sized hash-shuffle partition count from the staging dirs' byte
+    size (default 200 partitions spawn dozens of aggregator actors for a
+    metadata shuffle — see pipelines/common.shuffle_partitions)."""
+    import ray
+
+    total = 0
+    for d in dirs:
+        p = os.path.join(d, "staging")
+        if os.path.isdir(p):
+            total += sum(
+                os.path.getsize(os.path.join(p, f))
+                for f in os.listdir(p) if f.endswith(".parquet")
+            )
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return int(max(8, min(total // (64 << 20), 4 * cpus)))
 
 
 def _merged_doc_stats(dir_a: str, dir_b: str) -> tuple[int, int]:
@@ -57,7 +81,7 @@ def _merged_doc_stats(dir_a: str, dir_b: str) -> tuple[int, int]:
                             columns=["doc_id", "doclen"])
             .map_batches(tag(False), batch_format="pyarrow")
         )
-        .groupby("doc_id")
+        .groupby("doc_id", num_partitions=_staging_partitions(dir_a, dir_b))
         .aggregate(Max("dl_a", alias_name="dl_a"),
                    Max("dl_b", alias_name="dl_b"))
     )
@@ -71,6 +95,66 @@ def _merged_doc_stats(dir_a: str, dir_b: str) -> tuple[int, int]:
         Count(alias_name="n"), Sum("dl", alias_name="sum_dl")
     )
     return int(agg["n"] or 0), int(agg["sum_dl"] or 0)
+
+
+def _conflicting_doc_ids(dir_a: str, dir_b: str) -> "np.ndarray":
+    """doc_ids present in BOTH indexes with DIFFERENT tokenized content.
+
+    Signature = FNV-1a over the doc's term_ids bytes (vectorized batch
+    kernel), xor-folded with doclen. Distributed: one light scan over each
+    staging's (doc_id, doclen, term_ids), a groupby(doc_id), and only the
+    CONFLICTING ids (re-crawled content — rare) reach the driver.
+    Identical-content shares need no exclusion: their postings are
+    byte-identical and the merge's first-occurrence dedup is exact."""
+    from ray.data.aggregate import Max
+
+    from ..pipelines.common import fnv1a_slices
+
+    def sig_batches(src_a: bool):
+        def f(t: pa.Table) -> pa.Table:
+            col = t["term_ids"]
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            lens = arr.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+            buf = np.ascontiguousarray(flat).view(np.uint8)
+            byte_lens = lens * 8
+            starts = np.r_[np.int64(0), np.cumsum(byte_lens)[:-1]]
+            h = fnv1a_slices(buf, starts, byte_lens)
+            sig = (h ^ t["doclen"].cast(pa.int64()).to_numpy().astype(np.uint64)
+                   ).view(np.int64)
+            sig_col = pa.array(sig, pa.int64())
+            null = pa.nulls(len(t), pa.int64())
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "sig_a": sig_col if src_a else null,
+                    "sig_b": null if src_a else sig_col,
+                }
+            )
+        return f
+
+    cols = ["doc_id", "doclen", "term_ids"]
+    ds = (
+        rd.read_parquet(os.path.join(dir_a, "staging"), columns=cols)
+        .map_batches(sig_batches(True), batch_format="pyarrow")
+        .union(
+            rd.read_parquet(os.path.join(dir_b, "staging"), columns=cols)
+            .map_batches(sig_batches(False), batch_format="pyarrow")
+        )
+        .groupby("doc_id", num_partitions=_staging_partitions(dir_a, dir_b))
+        .aggregate(Max("sig_a", alias_name="sig_a"),
+                   Max("sig_b", alias_name="sig_b"))
+    )
+
+    def keep_conflicts(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        both = pc.and_(pc.is_valid(t["sig_a"]), pc.is_valid(t["sig_b"]))
+        diff = pc.not_equal(t["sig_a"], t["sig_b"])
+        return t.select(["doc_id"]).filter(pc.and_(both, diff))
+
+    parts = ds.map_batches(keep_conflicts, batch_format="pyarrow").take_all()
+    return np.array(sorted(int(r["doc_id"]) for r in parts), dtype=np.int64)
 
 
 def merge_indexes(dir_a: str, dir_b: str, out_dir: str,
@@ -90,13 +174,29 @@ def merge_indexes(dir_a: str, dir_b: str, out_dir: str,
     avgdl = total / n if n else 0.0
     keep_pos = bool(sa.get("keep_positions", True)) and bool(sb.get("keep_positions", True))
 
-    segs = rd.read_parquet(os.path.join(dir_a, "segments")).union(
-        rd.read_parquet(os.path.join(dir_b, "segments"))
+    # doc_ids in both indexes with DIFFERENT content: index A wins; B's
+    # postings/staging rows for those ids are dropped below
+    conflicts = _conflicting_doc_ids(dir_a, dir_b)
+
+    def tag_src(val: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "src", pa.array(np.full(len(t), val, dtype=np.int8))
+            )
+        return f
+
+    segs = rd.read_parquet(os.path.join(dir_a, "segments")).map_batches(
+        tag_src(0), batch_format="pyarrow"
+    ).union(
+        rd.read_parquet(os.path.join(dir_b, "segments")).map_batches(
+            tag_src(1), batch_format="pyarrow"
+        )
     )
     concat = ConcatSubSegments(
         avgdl=avgdl, k1=BM25_K1, b=BM25_B, block_size=cfg.block_size,
         n_shards=cfg.n_shards, keep_positions=keep_pos,
     )
+    excl = conflicts if conflicts.size else None
 
     def merge_group(t: pa.Table) -> pa.Table:
         # ALWAYS take the exact decode+re-encode path: the union changes
@@ -104,7 +204,7 @@ def merge_indexes(dir_a: str, dir_b: str, out_dir: str,
         # under-estimate the new tf-norms — inadmissible for WAND pruning.
         # Exact re-encoding restores tight, correct bounds; a union is rare
         # and costs the same as a compaction.
-        return concat._fallback_merge(t)
+        return concat._fallback_merge(t, exclude_src1=excl)
 
     merged = segs.groupby("term_id").map_groups(merge_group, batch_format="pyarrow")
     seg_out = os.path.join(out_dir, "segments")
@@ -114,15 +214,24 @@ def merge_indexes(dir_a: str, dir_b: str, out_dir: str,
     except TypeError:
         merged.write_parquet(seg_out)
 
-    # staging union (doc metadata for lookups)
+    # staging union (doc metadata for lookups); B's rows for conflicting
+    # doc_ids drop so lookups see the winner's (A's) metadata
     stage_out = os.path.join(out_dir, "staging")
     if os.path.abspath(stage_out) not in (
         os.path.abspath(os.path.join(dir_a, "staging")),
         os.path.abspath(os.path.join(dir_b, "staging")),
     ):
         shutil.rmtree(stage_out, ignore_errors=True)
+        b_staging = rd.read_parquet(os.path.join(dir_b, "staging"))
+        if conflicts.size:
+            def drop_conflicts(t: pa.Table) -> pa.Table:
+                keep = ~np.isin(t["doc_id"].to_numpy(), conflicts)
+                return t.filter(pa.array(keep))
+
+            b_staging = b_staging.map_batches(drop_conflicts,
+                                              batch_format="pyarrow")
         rd.read_parquet(os.path.join(dir_a, "staging")).union(
-            rd.read_parquet(os.path.join(dir_b, "staging"))
+            b_staging
         ).write_parquet(stage_out)
 
     # tombstones carry into the union: segments of either input may still

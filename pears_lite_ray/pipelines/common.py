@@ -48,6 +48,31 @@ def tune_shuffle_admission() -> None:
     ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.05
 
 
+_SHUFFLE_PARTITION_BYTES = 64 << 20  # one partition per 64 MiB of input
+
+
+def shuffle_partitions(sf_dir: str | None = None, floor: int = 8) -> int:
+    """Data-sized ``num_partitions`` for corpus-keyed hash shuffles
+    (groupby-aggregates, joins): one partition per 64 MiB of the documents
+    table, clamped to [floor, 4 × cluster CPUs].
+
+    Ray 2.49's default is ``default_hash_shuffle_parallelism = 200``
+    partitions served by up to 64 standing aggregator ACTORS — several
+    seconds of actor spawn per pipeline for shuffles that move kilobytes
+    at bench scale. Partition counts must follow DATA SIZE, not defaults
+    (same rule as index/build.py _meta_blocks)."""
+    import ray
+
+    by_size = 0
+    if sf_dir is not None:
+        try:
+            by_size = os.path.getsize(documents_path(sf_dir)) // _SHUFFLE_PARTITION_BYTES
+        except OSError:
+            by_size = 0
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return int(max(floor, min(by_size, 4 * cpus)))
+
+
 def pool(n_pools: int = 1) -> tuple[int, int]:
     """Actor-pool (min, max) that can never starve task operators: min 1,
     max = (cluster CPUs - 2 reserved for read/write tasks) / n_pools."""

@@ -34,8 +34,6 @@ import os
 
 import numpy as np
 import pyarrow as pa
-from ray.data.aggregate import Min
-
 _LOG = logging.getLogger("pears_lite_ray.dedup")
 
 from .common import (
@@ -73,20 +71,11 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 
 
 def join_partitions(sf_dir: str) -> int:
-    """Data-sized partition count for corpus-keyed equi-joins: one
-    partition per 64 MiB of the documents table, clamped to
-    [JOIN_PARTITIONS, 4 × cluster CPUs] — same sizing rule as the build's
-    shuffle partitioning (index/build.py _meta_blocks)."""
-    import ray
+    """Data-sized partition count for corpus-keyed equi-joins — delegates
+    to the shared sizing rule (pipelines/common.shuffle_partitions)."""
+    from .common import shuffle_partitions
 
-    from .common import documents_path
-
-    try:
-        by_size = os.path.getsize(documents_path(sf_dir)) // _JOIN_PARTITION_BYTES
-    except OSError:
-        by_size = 0
-    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    return int(max(JOIN_PARTITIONS, min(by_size, 4 * cpus)))
+    return shuffle_partitions(sf_dir, floor=JOIN_PARTITIONS)
 
 
 def _scrub(ds, n: int = JOIN_PARTITIONS):
@@ -128,9 +117,11 @@ def q_exact_dedup(sf_dir: str):
     """Every doc mapped to the canonical (min doc_id) holder of its exact
     text (J3 semantics ↔ mk_page_vector.py:37, by content not url).
 
-    Canonical winners come from a groupby(text_md5) aggregate; they are
-    attached back with an equi-join on the same key — both sides are
-    hash-partitioned on text_md5, so no driver state and no broadcast."""
+    ONE hash-partitioned groupby(text_md5) whose per-group map attaches
+    the canonical (min doc_id) to every member row — all of a hash's rows
+    are co-located by the shuffle, so no second pass, no join, no driver
+    state. (Round-2 used aggregate + equi-join: same semantics, but two
+    standing hash-operator actor fleets for what one grouped map does.)"""
 
     def hash_batch(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
@@ -141,20 +132,22 @@ def q_exact_dedup(sf_dir: str):
             }
         )
 
-    tune_shuffle_admission()
-    ds = read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
-        hash_batch, batch_format="pyarrow"
-    )
-    canon = _scrub(
-        ds.groupby("text_md5").aggregate(
-            Min("doc_id", alias_name="canonical_doc_id")
+    def attach_canonical(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy()
+        canon = np.full(ids.size, ids.min(), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": group["doc_id"],
+                "text_md5": group["text_md5"],
+                "canonical_doc_id": pa.array(canon, pa.int64()),
+            }
         )
-    )
-    return ds.join(
-        canon,
-        join_type="inner",
-        num_partitions=join_partitions(sf_dir),
-        on=("text_md5",),
+
+    return (
+        read_documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(hash_batch, batch_format="pyarrow")
+        .groupby("text_md5")
+        .map_groups(attach_canonical, batch_format="pyarrow")
     )
 
 
@@ -289,10 +282,12 @@ def jaccard_dropped_shingles(sf_dir: str, hot_cap: int = HOT_SHINGLE_CAP):
             }
         )
 
+    from .common import shuffle_partitions
+
     ds = (
         read_documents(sf_dir, columns=["doc_id", "text"])
         .map_batches(partial_counts, batch_format="pyarrow")
-        .groupby("shingle")
+        .groupby("shingle", num_partitions=shuffle_partitions(sf_dir))
         .aggregate(Sum("n_p", alias_name="n_docs"))
     )
 
@@ -510,13 +505,16 @@ def lsh_dropped_buckets(sf_dir: str, hot_cap: int = HOT_SHINGLE_CAP):
     is the handful of degenerate buckets, e.g. the empty-shingle-set key)."""
     from ray.data.aggregate import Count
 
+    from .common import shuffle_partitions
+
     bands = (
         read_documents(sf_dir, columns=["doc_id", "text"])
         .map_batches(MinHashStage, batch_format="pyarrow",
                      concurrency=pool(), num_cpus=1)
         .filter(expr="band >= 0")
         .select_columns(["band", "band_key"])
-        .groupby(["band", "band_key"])
+        .groupby(["band", "band_key"],
+                 num_partitions=shuffle_partitions(sf_dir))
         .aggregate(Count(alias_name="n_docs"))
     )
 

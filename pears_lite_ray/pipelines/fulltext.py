@@ -55,23 +55,29 @@ def docs_index_dir(sf_dir: str) -> str:
 
 def q_docs_table(sf_dir: str):
     """Doc-metadata table (replaces the reference's Urls/SQLite rows, W3):
-    doc_id, title, snippet, lang, doclen — doclen = regex token count."""
-    from ..stages.extract import PassthroughExtract
+    doc_id, title, snippet, lang, doclen — doclen = regex token count.
 
-    def widen(batch: pa.Table) -> pa.Table:
+    ONE fused task-pool stage: extract + regex tokenize + projection are
+    all stateless-cheap here, so chaining two actor POOLS (round 2) paid
+    two fleets of actor spawns for one cheap map — plain callable
+    instances fuse into the read tasks instead."""
+    def fused(batch: pa.Table) -> pa.Table:
+        # constructed per call: both are trivially cheap for the regex
+        # path, and instances don't pickle (the tokenizer's lru_cache)
+        from ..stages.extract import PassthroughExtract
+
+        out = TokenizeStage(vocab_path=None, kind="regex")(
+            PassthroughExtract()(batch)
+        )
+        out = out.select(["doc_id", "title", "snippet", "lang", "doclen"])
         # int64 doclen so the engine schema matches DuckDB's len() (BIGINT)
-        return batch.set_column(
-            batch.schema.get_field_index("doclen"), "doclen",
-            batch["doclen"].cast(pa.int64()),
+        return out.set_column(
+            out.schema.get_field_index("doclen"), "doclen",
+            out["doclen"].cast(pa.int64()),
         )
 
-    return (
-        read_documents(sf_dir, columns=["doc_id", "text", "lang"])
-        .map_batches(PassthroughExtract, batch_format="pyarrow", concurrency=pool(2))
-        .map_batches(TokenizeStage, fn_constructor_kwargs={"vocab_path": None, "kind": "regex"},
-                     batch_format="pyarrow", concurrency=pool(2), num_cpus=1)
-        .select_columns(["doc_id", "title", "snippet", "lang", "doclen"])
-        .map_batches(widen, batch_format="pyarrow")
+    return read_documents(sf_dir, columns=["doc_id", "text", "lang"]).map_batches(
+        fused, batch_format="pyarrow"
     )
 
 
@@ -100,10 +106,14 @@ def q_term_stats(sf_dir: str):
             }
         )
 
+    from .common import shuffle_partitions
+
     ds = (
         read_documents(sf_dir, columns=["doc_id", "text"])
         .map_batches(partial, batch_format="pyarrow")
-        .groupby("term")
+        # data-sized partitions: the default 200-partition hash aggregate
+        # spawns dozens of actors for a shuffle of (batches × terms) rows
+        .groupby("term", num_partitions=shuffle_partitions(sf_dir))
         .aggregate(Sum("df_p", alias_name="df"), Sum("cf_p", alias_name="cf"))
     )
     return ds

@@ -281,26 +281,48 @@ class ConcatSubSegments:
         self.n_shards = n_shards
         self.keep_positions = keep_positions
 
-    def _fallback_merge(self, group: pa.Table) -> pa.Table:
+    def _fallback_merge(self, group: pa.Table,
+                        exclude_src1: np.ndarray | None = None) -> pa.Table:
+        """Exact decode + re-merge. With ``exclude_src1`` set (index union,
+        index/merge.py), rows carrying ``src == 1`` (the LOSER index) drop
+        any posting whose doc_id is in the exclude set — the winner
+        resolution for doc_ids indexed in both inputs with different
+        content."""
         term_id = int(group["term_id"][0].as_py())
         rows = group.to_pylist()
+        srcs = (group["src"].to_numpy()
+                if "src" in group.column_names
+                else np.zeros(len(rows), dtype=np.int8))
         docs_p, tfs_p, dls_p = [], [], []
         cnts_p, flat_p = [], []
-        for r in rows:
+        for r, s in zip(rows, srcs):
             d, t, l = codec.decode_posting_list(r)
-            docs_p.append(d)
-            tfs_p.append(t)
-            dls_p.append(l)
+            cnts = flat = None
             if self.keep_positions:
                 stream = codec.varbyte_decode(r["pos_bytes"])
                 cnts, flat = codec.decode_positions_stream(
                     stream, d.size, counts=t.astype(np.int64)
                 )
+            if exclude_src1 is not None and s == 1 and d.size:
+                keep = ~np.isin(d, exclude_src1)
+                if not keep.all():
+                    if self.keep_positions:
+                        cnts, flat = _gather_positions(
+                            cnts, flat, np.nonzero(keep)[0]
+                        )
+                    d, t, l = d[keep], t[keep], l[keep]
+            docs_p.append(d)
+            tfs_p.append(t)
+            dls_p.append(l)
+            if self.keep_positions:
                 cnts_p.append(cnts)
                 flat_p.append(flat)
         doc_all = np.concatenate(docs_p)
         tf_all = np.concatenate(tfs_p)
         dl_all = np.concatenate(dls_p)
+        if doc_all.size == 0:
+            # every posting excluded (term only in the loser copies)
+            return SEGMENT_SCHEMA.empty_table()
         order = np.argsort(doc_all, kind="stable")
         sorted_docs = doc_all[order]
         first = np.r_[True, sorted_docs[1:] != sorted_docs[:-1]]

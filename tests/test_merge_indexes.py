@@ -115,3 +115,64 @@ def test_union_shared_docs_and_tombstones(ray_session, tmp_path_factory):
     merged = QueryEngine(im)
     docs, _ = merged.search_scores(HOT_TERM, 50)
     assert victim_id not in set(docs.tolist())
+
+
+def test_union_conflicting_content_resolves_to_a(ray_session, tmp_path_factory):
+    """A doc_id indexed in BOTH inputs with DIFFERENT content resolves to
+    index A's version everywhere — postings, doclens, stats (round-2
+    ADVICE: the old merge mixed A's postings with B-only-term postings for
+    the conflicting doc). B re-indexes the same urls with content shifted
+    by one row, so (almost) every shared doc conflicts; the merged index
+    must score exactly like index A alone."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pears_lite_ray.index.build import build_index
+    from pears_lite_ray.index.merge import merge_indexes
+    from pears_lite_ray.query.engine import QueryEngine
+
+    ca = str(tmp_path_factory.mktemp("conf_a"))
+    paths = write_corpus(ca, 60, n_files=1, seed=31)
+    ia = str(tmp_path_factory.mktemp("conf_idx_a"))
+    build_index(paths, BuildConfig(out_dir=ia))
+
+    # B: same urls, but content PERMUTED among the rows A actually indexed
+    # (shifting only within the gate-passing set keeps B's doc set == A's,
+    # so every shared doc conflicts and none is B-only)
+    t = pq.read_table(paths[0])
+    staged_urls = set(
+        pq.read_table(os.path.join(ia, "staging"), columns=["url"])
+        ["url"].to_pylist()
+    )
+    urls = t["url"].to_pylist()
+    html = t["html"].to_pylist()
+    text = t["text"].to_pylist()
+    orig_html, orig_text = list(html), list(text)
+    idx = [i for i, u in enumerate(urls) if u in staged_urls]
+    assert len(idx) > 10
+    for pos, i in enumerate(idx):
+        j = idx[(pos + 1) % len(idx)]
+        html[i], text[i] = orig_html[j], orig_text[j]
+    t2 = t.set_column(t.schema.get_field_index("html"), "html",
+                      pa.array(html, pa.binary()))
+    t2 = t2.set_column(t2.schema.get_field_index("text"), "text",
+                       pa.array(text, pa.string()))
+    cb = str(tmp_path_factory.mktemp("conf_b"))
+    pb = os.path.join(cb, "part.parquet")
+    pq.write_table(t2, pb)
+
+    ib = str(tmp_path_factory.mktemp("conf_idx_b"))
+    im = str(tmp_path_factory.mktemp("conf_idx_m"))
+    build_index([pb], BuildConfig(out_dir=ib))
+    stats = merge_indexes(ia, ib, im)
+
+    a = QueryEngine(ia)
+    m = QueryEngine(im)
+    assert stats["n_docs"] == a.stats.n_docs
+    assert stats["avgdl"] == pytest.approx(a.stats.avgdl)
+    queries = generate_queries()
+    for q, k in zip(queries["query"].to_pylist(), queries["k"].to_pylist()):
+        dm, sm = m.search_scores(q, int(k))
+        da, sa_ = a.search_scores(q, int(k))
+        assert dm.tolist() == da.tolist(), q
+        assert np.allclose(sm, sa_, atol=1e-12), q
