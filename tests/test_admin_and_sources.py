@@ -329,3 +329,37 @@ def test_assemble_csv_table(tmp_path):
     html2 = assemble_csv_table(str(p2), ["0"], "map")
     assert "openstreetmap.org/#map=19/48.1/11.5" in html2
     assert ">www</th>" in html2
+
+
+def test_read_bookmarks_matches_reference_walk(tmp_path):
+    """S3 (app/utils.py:86-102): Netscape bookmarks export — links filed
+    under the keyword folder (case-insensitive), folder = most recent
+    <h3> in the flat <dt> walk."""
+    from pears_lite_ray.sources.bookmarks import bookmarks_table, read_bookmarks
+
+    doc = """<!DOCTYPE NETSCAPE-Bookmark-file-1>
+<TITLE>Bookmarks</TITLE><H1>Bookmarks</H1>
+<DL><p>
+  <DT><H3>Research</H3>
+  <DL><p>
+    <DT><A HREF="https://a.example/paper">Paper A</A>
+    <DT><A HREF="https://b.example/blog">Blog B</A>
+  </DL><p>
+  <DT><H3>Cooking</H3>
+  <DL><p>
+    <DT><A HREF="https://c.example/recipe">Recipe C</A>
+  </DL><p>
+</DL><p>"""
+    p = tmp_path / "bookmarks.html"
+    p.write_text(doc)
+
+    assert read_bookmarks(str(p), "research") == [
+        "https://a.example/paper", "https://b.example/blog"
+    ]
+    assert read_bookmarks(str(p), "COOKING") == ["https://c.example/recipe"]
+    assert read_bookmarks(str(p), "nope") == []
+
+    t = bookmarks_table(str(p))
+    assert t.num_rows == 3
+    assert t["pod"].to_pylist() == ["Research", "Research", "Cooking"]
+    assert t["title"].to_pylist() == ["Paper A", "Blog B", "Recipe C"]
