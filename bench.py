@@ -156,7 +156,8 @@ def main() -> None:
         # median bounds a one-off outlier.
         legs: dict[int, list] = {8: [], 32: []}
         detail = []
-        for _ in range(2):
+        rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "2"))
+        for _ in range(rounds):
             for cpus in (8, 32):
                 p = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
