@@ -3,9 +3,9 @@
 Large-scale-training-pipeline staples, each in its scalable Ray Data shape
 — no driver-side materialization anywhere in these pipelines (round-2 fix):
 
-* exact      — hash-partition on md5(text), per-group canonical winner
-               (min doc_id), attached back with a same-key equi-join
-               (``Dataset.join`` on text_md5). SQL-oracle-checked.
+* exact      — hash-partition on md5(text); the per-group map attaches
+               the canonical winner (min doc_id) to every member row in
+               one shuffle (no join, no driver state). SQL-oracle-checked.
 * shingles   — 3-word-shingle inverted index → co-occurring pairs →
                exact Jaccard per pair. The shuffle ships 8-byte FNV-1a
                shingle hashes (not strings), and each doc's distinct-set
@@ -34,7 +34,6 @@ import os
 
 import numpy as np
 import pyarrow as pa
-_LOG = logging.getLogger("pears_lite_ray.dedup")
 
 from .common import (
     SQL_TOKENS,
@@ -49,6 +48,8 @@ from .common import (
     tokens_per_row,
     word_hash_stream,
 )
+
+_LOG = logging.getLogger("pears_lite_ray.dedup")
 
 JACCARD_NGRAM = 3
 MINHASH_PERMS = 64
@@ -65,7 +66,6 @@ HOT_SHINGLE_CAP = 1000
 # partitions and 6.8 s at 8 (fixed per-aggregator cost dominates small
 # joins), while corpus-sized joins need partitions ∝ bytes.
 JOIN_PARTITIONS = 8
-_JOIN_PARTITION_BYTES = 64 << 20  # one join partition per 64 MiB of input
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
