@@ -334,6 +334,109 @@ def q_sample(sf_dir: str):
     )
 
 
+DECONTAM_NGRAM = 5
+DECONTAM_BENCH_MOD = 97  # doc_id % 97 == 0 rows act as the held-out benchmark
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (the GPT-3/Llama training-data step):
+    flag every document sharing any ``DECONTAM_NGRAM``-gram with a
+    held-out benchmark set — here synthesized deterministically as the
+    ``doc_id % 97 == 0`` rows standing in for eval data.
+
+    Scale shape: the benchmark is the SMALL side by construction, so its
+    distinct shingle-hash set is gathered by one filtered scan (driver
+    pull bounded by benchmark size), broadcast once per actor via
+    constructor args, and membership-tested per batch with np.isin — the
+    corpus itself never shuffles. 8-byte FNV hashes stand in for the gram
+    strings (collision-free at any testable scale, same argument as
+    jaccard_pairs). SQL-oracle-checked via a string-gram join."""
+
+    def bench_hashes(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        keep = ids % DECONTAM_BENCH_MOD == 0
+        sub = batch.filter(pa.array(keep))
+        toks, _ = tokens_per_row(sub)
+        _, hs = shingle_stream(toks, DECONTAM_NGRAM)
+        return pa.table({"h": pa.array(np.unique(hs).view(np.int64), pa.int64())})
+
+    parts = (
+        read_documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(bench_hashes, batch_format="pyarrow")
+        .take_all()
+    )
+    bench = np.unique(np.array([r["h"] for r in parts], dtype=np.int64))
+
+    class ContaminationStage:
+        def __init__(self, bench_sorted: np.ndarray):
+            self.bench = bench_sorted.view(np.uint64)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            toks, _ = tokens_per_row(batch)
+            rows, hs = shingle_stream(toks, DECONTAM_NGRAM)
+            n_hits = np.zeros(len(toks), dtype=np.int64)
+            if rows.size:
+                from .common import distinct_per_row
+
+                r, v, _ = distinct_per_row(rows, hs)
+                hit = np.isin(v, self.bench)
+                np.add.at(n_hits, r[hit], 1)
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "n_hits": pa.array(n_hits, pa.int64()),
+                    "contaminated": pa.array(n_hits > 0, pa.bool_()),
+                }
+            )
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        ContaminationStage,
+        fn_constructor_kwargs={"bench_sorted": bench},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+
+TOP_NGRAMS_K = 50
+TOP_NGRAMS_N = 3
+
+
+def q_top_ngrams(sf_dir: str):
+    """Corpus-level n-gram frequency head (boilerplate-list / repetition
+    analysis building block): total occurrence counts of every 3-gram,
+    top-50 under the (count desc, ngram asc) contract. Partial counts per
+    batch (one row per distinct in-batch gram), a data-sized groupby-sum,
+    then a distributed sort + limit — only 50 rows ever leave."""
+    from ray.data.aggregate import Sum
+
+    from .common import shuffle_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks, _ = tokens_per_row(batch)
+        counts: dict[str, int] = {}
+        for words in toks:
+            for i in range(len(words) - TOP_NGRAMS_N + 1):
+                g = " ".join(words[i:i + TOP_NGRAMS_N])
+                counts[g] = counts.get(g, 0) + 1
+        grams = sorted(counts)
+        return pa.table(
+            {
+                "ngram": pa.array(grams, pa.string()),
+                "c_p": pa.array([counts[g] for g in grams], pa.int64()),
+            }
+        )
+
+    return (
+        read_documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("ngram", num_partitions=shuffle_partitions(sf_dir))
+        .aggregate(Sum("c_p", alias_name="cnt"))
+        .sort(["cnt", "ngram"], descending=[True, False])
+        .limit(TOP_NGRAMS_K)
+    )
+
+
 QUERIES = {
     "quality": q_quality,
     "token_count": q_token_count,
@@ -342,6 +445,8 @@ QUERIES = {
     "gopher_quality": q_gopher_quality,
     "repetition": q_repetition,
     "sample": q_sample,
+    "decontaminate": q_decontaminate,
+    "top_ngrams": q_top_ngrams,
 }
 
 def _sql_marker_list(lang: str) -> str:
@@ -446,7 +551,37 @@ SELECT doc_id, lang, u,
 FROM h"""
 
 
+_SQL_GRAM5 = "t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]"
+
+_SQL_DECONTAMINATE = f"""
+WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, {_SQL_GRAM5} AS g
+  FROM toks, UNNEST(generate_series(1, len(t) - {DECONTAM_NGRAM - 1})) AS u(i)
+),
+bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % {DECONTAM_BENCH_MOD} = 0),
+hits AS (
+  SELECT sh.doc_id, count(*) AS n
+  FROM sh JOIN bench USING (g)
+  GROUP BY sh.doc_id
+)
+SELECT d.doc_id, coalesce(h.n, 0)::BIGINT AS n_hits,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id"""
+
+_SQL_TOP_NGRAMS = f"""
+WITH toks AS (SELECT {SQL_TOKENS} AS t FROM documents),
+grams AS (
+  SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
+  FROM toks, UNNEST(generate_series(1, len(t) - {TOP_NGRAMS_N - 1})) AS u(i)
+)
+SELECT ngram, count(*) AS cnt FROM grams
+GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT {TOP_NGRAMS_K}"""
+
+
 ORACLE_SQL = {
+    "decontaminate": _SQL_DECONTAMINATE,
+    "top_ngrams": _SQL_TOP_NGRAMS,
     "gopher_quality": _sql_gopher(),
     "repetition": _SQL_REPETITION,
     "sample": _sql_sample(),

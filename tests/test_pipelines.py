@@ -320,3 +320,31 @@ def test_gopher_quality_gate(ray_session, tmp_path):
     assert not bool(t.loc[2, "keep"])      # symbol ratio + alpha ratio
     assert not bool(t.loc[3, "keep"])      # no stopwords
     assert t.loc[0, "word_count"] >= 50
+
+
+def test_decontaminate_flags_benchmark_overlap(ray_session, planted_docs_dir):
+    """Docs sharing a 5-gram with the benchmark slice (doc_id % 97 == 0 →
+    doc 0 here) are flagged; unrelated docs are clean."""
+    from pears_lite_ray.pipelines.textstats import q_decontaminate
+
+    t = q_decontaminate(planted_docs_dir).to_pandas().set_index("doc_id")
+    assert bool(t.loc[0, "contaminated"])          # benchmark doc itself
+    assert bool(t.loc[1, "contaminated"])          # exact dup of doc 0
+    assert t.loc[1, "n_hits"] == t.loc[0, "n_hits"]
+    assert bool(t.loc[2, "contaminated"])          # near dup (1-word edit)
+    assert t.loc[2, "n_hits"] < t.loc[0, "n_hits"]
+    assert len(t) == 30
+
+
+def test_top_ngrams_counts(ray_session, planted_docs_dir):
+    from pears_lite_ray.pipelines.textstats import TOP_NGRAMS_K, q_top_ngrams
+
+    t = q_top_ngrams(planted_docs_dir).to_pandas()
+    assert len(t) == TOP_NGRAMS_K
+    # the duplicated doc pair means its grams appear ≥2 times
+    assert t["cnt"].iloc[0] >= 2
+    # contract: count desc, ngram asc
+    for i in range(1, len(t)):
+        a, b = t.iloc[i - 1], t.iloc[i]
+        assert (a["cnt"], a["ngram"]) != (b["cnt"], b["ngram"])
+        assert a["cnt"] > b["cnt"] or (a["cnt"] == b["cnt"] and a["ngram"] < b["ngram"])
