@@ -86,6 +86,47 @@ def q_csv_docs(sf_dir: str):
     return t.select(["url", "title", "text", "lang", "doctype"])
 
 
+# -- S8: steganographic CSV-in-PNG pod reader --------------------------------
+
+def _stego_png_path(sf_dir: str) -> str:
+    """Deterministic pod-share PNG derived from the documents table (the
+    driver testdata ships no image; this synthesizes one — same data, new
+    container): one ``parse_line``-layout CSV row per doc in doc_id order,
+    encoded pixel-per-char per index_pod_file.py:24-40 semantics."""
+    import pyarrow.parquet as pq
+
+    from ..sources.stegopng import encode_stego_csv
+
+    out = os.path.join(_cache_dir(sf_dir, "stego"), "pod.png")
+    if not os.path.exists(out):
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        t = pq.read_table(documents_path(sf_dir), columns=["doc_id", "text"])
+        order = np.argsort(t["doc_id"].to_numpy())
+        ids = t["doc_id"].to_numpy()[order]
+        texts = np.asarray(t["text"].to_pylist(), dtype=object)[order]
+        lines = []
+        for i, (d, txt) in enumerate(zip(ids, texts)):
+            if ";" in txt or "\n" in txt:
+                raise ValueError("synthetic corpus text must be CSV-safe")
+            lines.append(
+                f"{i};https://pod.example/{d};Doc {d};{txt};0.0;w:1;"
+                f"{d % 2 == 0}\n"
+            )
+        tmp = out + ".tmp"
+        encode_stego_csv(tmp, "".join(lines), width=1024)
+        os.replace(tmp, out)
+    return out
+
+
+def q_stego_docs(sf_dir: str):
+    """PNG pixels → chars → pod CSV → typed rows (S8,
+    index_pod_file.py:12-40): url/title/snippet plus the parsed cc flag."""
+    from ..sources.stegopng import decode_stego_csv, parse_pod_csv
+
+    t = parse_pod_csv(decode_stego_csv(_stego_png_path(sf_dir)))
+    return t.select(["url", "title", "snippet", "cc"])
+
+
 # -- S7: index union ---------------------------------------------------------
 
 def _half_paths(sf_dir: str) -> tuple[str, str]:
@@ -482,6 +523,7 @@ FROM px GROUP BY doc_id"""
 
 QUERIES = {
     "csv_docs": q_csv_docs,
+    "stego_docs": q_stego_docs,
     "bm25_topk_spm": q_bm25_topk_spm,
     "merge_bm25": q_merge_bm25,
     "compact_bm25": q_compact_bm25,
@@ -512,6 +554,14 @@ SELECT 'docs.csv#' || title AS url,
        'en' AS lang,
        'csv' AS doctype
 FROM built""",
+    # the pod CSV is synthesized from documents in doc_id order; the PNG
+    # round-trip must hand back exactly these rows
+    "stego_docs": """
+SELECT 'https://pod.example/' || doc_id AS url,
+       'Doc ' || doc_id AS title,
+       text AS snippet,
+       (doc_id % 2 = 0) AS cc
+FROM documents""",
     "merge_bm25": sql_bm25_scores(),
     "compact_bm25": sql_bm25_scores(
         where=f"WHERE doc_id % {COMPACT_MOD} <> {COMPACT_RESIDUE}"

@@ -363,3 +363,101 @@ def test_read_bookmarks_matches_reference_walk(tmp_path):
     assert t.num_rows == 3
     assert t["pod"].to_pylist() == ["Research", "Research", "Cooking"]
     assert t["title"].to_pylist() == ["Paper A", "Blog B", "Recipe C"]
+
+
+# -- S8: steganographic CSV-in-PNG pod reader --------------------------------
+
+POD_CSV = (
+    "0;https://x.example/a;Alpha Doc;snippet alpha text;0.1|0.2;the:3 café:1;True\n"
+    "1;https://x.example/b;Beta;snippet beta;0.3|0.4;beta:2;False\n"
+)
+
+
+def test_stego_png_round_trip(tmp_path):
+    """encode → decode is identity (multi-row image, '\\n' padding, chars
+    above 255 split across channels like the reference decode expects)."""
+    from pears_lite_ray.sources.stegopng import decode_stego_csv, encode_stego_csv
+
+    text = POD_CSV + "high codepoint: ȷ˽\n"  # 567, 765
+    p = str(tmp_path / "pod.png")
+    encode_stego_csv(p, text, width=16)
+    decoded = decode_stego_csv(p)
+    assert decoded.startswith(text)
+    # padding is blank-line only
+    assert decoded[len(text):].strip("\n") == ""
+
+
+def test_png_unfilter_sub_up_average_paeth(tmp_path):
+    """The reader handles all five scanline filters (a PIL/third-party
+    encoder may emit any): build one PNG per filter type by hand and check
+    the de-filtered pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pears_lite_ray.sources.stegopng import _chunk, _PNG_SIG, read_png_pixels
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8)
+
+    def filtered(ftype: int) -> bytes:
+        rows = []
+        prev = np.zeros(5 * 3, dtype=np.int16)
+        for y in range(4):
+            cur = px[y].reshape(-1).astype(np.int16)
+            left = np.concatenate([[0, 0, 0], cur[:-3]])
+            upleft = np.concatenate([[0, 0, 0], prev[:-3]])
+            if ftype == 0:
+                enc = cur
+            elif ftype == 1:
+                enc = cur - left
+            elif ftype == 2:
+                enc = cur - prev
+            elif ftype == 3:
+                enc = cur - ((left + prev) >> 1)
+            else:
+                p = left + prev - upleft
+                pred = np.where(
+                    (abs(p - left) <= abs(p - prev))
+                    & (abs(p - left) <= abs(p - upleft)),
+                    left,
+                    np.where(abs(p - prev) <= abs(p - upleft), prev, upleft),
+                )
+                enc = cur - pred
+            rows.append(bytes([ftype]) + (enc & 0xFF).astype(np.uint8).tobytes())
+            prev = cur
+        return b"".join(rows)
+
+    for ftype in range(5):
+        path = str(tmp_path / f"f{ftype}.png")
+        ihdr = struct.pack(">IIBBBBB", 5, 4, 8, 2, 0, 0, 0)
+        with open(path, "wb") as f:
+            f.write(_PNG_SIG)
+            f.write(_chunk(b"IHDR", ihdr))
+            f.write(_chunk(b"IDAT", zlib.compress(filtered(ftype))))
+            f.write(_chunk(b"IEND", b""))
+        out = read_png_pixels(path)
+        assert np.array_equal(out, px), f"filter {ftype}"
+
+
+def test_stego_docs_parse_and_dataset(ray_session, tmp_path):
+    from pears_lite_ray.sources.stegopng import (
+        encode_stego_csv,
+        parse_pod_csv,
+        read_stego_docs,
+    )
+
+    p = str(tmp_path / "pod.png")
+    encode_stego_csv(p, POD_CSV, width=32)
+
+    t = parse_pod_csv(POD_CSV)
+    assert t["url"].to_pylist() == ["https://x.example/a", "https://x.example/b"]
+    assert t["title"].to_pylist() == ["Alpha Doc", "Beta"]
+    assert t["cc"].to_pylist() == [True, False]
+    assert t["freqs"].to_pylist()[0] == "the:3 café:1"
+
+    docs = read_stego_docs(p).to_pandas()
+    assert list(docs.columns) == ["url", "warc_ts", "title", "text", "lang", "doctype"]
+    assert docs["text"].tolist() == ["snippet alpha text", "snippet beta"]
+    assert set(docs["doctype"]) == {"pod"}
