@@ -437,6 +437,78 @@ def q_top_ngrams(sf_dir: str):
     )
 
 
+PACK_SEQ_LEN = 512   # training-sequence token budget
+PACK_BUCKET = 128    # doc_ids per offset bucket (small here to exercise the
+                     # multi-bucket path; a real corpus sizes this so bucket
+                     # count stays O(100k) — the only driver-side table)
+
+
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing (GPT-style concatenate-and-chunk): documents in
+    doc_id order form one virtual token stream split every
+    ``PACK_SEQ_LEN`` tokens; per doc emit its stream offset, the training
+    sequence it starts in and how many sequences it spans.
+
+    The global prefix sum is computed hierarchically so the corpus text
+    never re-shuffles: (1) one pass maps docs → (doc_id, bucket,
+    n_tokens); (2) per-bucket token sums — one row per ``PACK_BUCKET``
+    docs — are exclusively scanned on the driver (the bounded small
+    table) and broadcast via ``ray.put``; (3) a groupby(bucket) orders
+    each bucket's counts by doc_id and adds cumsum + bucket base. Only
+    16-byte count rows move through the shuffle."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .common import shuffle_partitions
+
+    def count(batch: pa.Table) -> pa.Table:
+        _, n = tokens_per_row(batch)
+        ids = batch["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "bucket": pa.array(ids // PACK_BUCKET, pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+            }
+        )
+
+    counts = (
+        read_documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(count, batch_format="pyarrow")
+        .materialize()  # 3 int columns, consumed twice (sums + offsets)
+    )
+    sums = counts.groupby("bucket").aggregate(Sum("n_tokens", alias_name="s")).take_all()
+    base, offsets = 0, {}
+    for r in sorted(sums, key=lambda r: r["bucket"]):
+        offsets[int(r["bucket"])] = base
+        base += int(r["s"])
+    off_ref = ray.put(offsets)
+
+    def assign(group: pa.Table) -> pa.Table:
+        bases = ray.get(off_ref)
+        order = np.argsort(group["doc_id"].to_numpy())
+        ids = group["doc_id"].to_numpy()[order]
+        n = group["n_tokens"].to_numpy()[order]
+        start = bases[int(ids[0] // PACK_BUCKET)] + np.concatenate(
+            ([0], np.cumsum(n[:-1]))
+        )
+        first = start // PACK_SEQ_LEN
+        last = (start + np.maximum(n, 1) - 1) // PACK_SEQ_LEN
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+                "start_offset": pa.array(start, pa.int64()),
+                "seq_id": pa.array(first, pa.int64()),
+                "n_seqs": pa.array(last - first + 1, pa.int64()),
+            }
+        )
+
+    return counts.groupby(
+        "bucket", num_partitions=shuffle_partitions(sf_dir)
+    ).map_groups(assign, batch_format="pyarrow")
+
+
 QUERIES = {
     "quality": q_quality,
     "token_count": q_token_count,
@@ -447,6 +519,7 @@ QUERIES = {
     "sample": q_sample,
     "decontaminate": q_decontaminate,
     "top_ngrams": q_top_ngrams,
+    "pack_sequences": q_pack_sequences,
 }
 
 def _sql_marker_list(lang: str) -> str:
@@ -579,9 +652,27 @@ SELECT ngram, count(*) AS cnt FROM grams
 GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT {TOP_NGRAMS_K}"""
 
 
+_SQL_PACK = f"""
+WITH toks AS (SELECT doc_id, len({SQL_TOKENS}) AS n FROM documents),
+o AS (
+  SELECT doc_id, n,
+         COALESCE(SUM(n) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS so
+  FROM toks
+)
+SELECT doc_id,
+       n::BIGINT AS n_tokens,
+       so::BIGINT AS start_offset,
+       (so // {PACK_SEQ_LEN})::BIGINT AS seq_id,
+       ((so + GREATEST(n, 1) - 1) // {PACK_SEQ_LEN}
+          - so // {PACK_SEQ_LEN} + 1)::BIGINT AS n_seqs
+FROM o"""
+
+
 ORACLE_SQL = {
     "decontaminate": _SQL_DECONTAMINATE,
     "top_ngrams": _SQL_TOP_NGRAMS,
+    "pack_sequences": _SQL_PACK,
     "gopher_quality": _sql_gopher(),
     "repetition": _SQL_REPETITION,
     "sample": _sql_sample(),

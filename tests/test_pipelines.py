@@ -348,3 +348,18 @@ def test_top_ngrams_counts(ray_session, planted_docs_dir):
         a, b = t.iloc[i - 1], t.iloc[i]
         assert (a["cnt"], a["ngram"]) != (b["cnt"], b["ngram"])
         assert a["cnt"] > b["cnt"] or (a["cnt"] == b["cnt"] and a["ngram"] < b["ngram"])
+
+
+def test_pack_sequences_contiguous_stream(ray_session, planted_docs_dir):
+    """Offsets form one contiguous token stream in doc_id order across
+    bucket boundaries; sequence spans follow from the offsets."""
+    from pears_lite_ray.pipelines.textstats import PACK_SEQ_LEN, q_pack_sequences
+
+    t = q_pack_sequences(planted_docs_dir).to_pandas().sort_values("doc_id")
+    n = t["n_tokens"].to_numpy()
+    start = t["start_offset"].to_numpy()
+    assert start[0] == 0
+    assert (start[1:] == start[:-1] + n[:-1]).all()
+    assert (t["seq_id"].to_numpy() == start // PACK_SEQ_LEN).all()
+    last = (start + np.maximum(n, 1) - 1) // PACK_SEQ_LEN
+    assert (t["n_seqs"].to_numpy() == last - t["seq_id"].to_numpy() + 1).all()
