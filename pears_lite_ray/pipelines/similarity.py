@@ -475,11 +475,82 @@ def q_embedding_dups(sf_dir: str):
     )
 
 
+SEMDEDUP_EPS = 0.999  # within-cluster cosine above which a vector is a dup
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    k-means-cluster the embeddings, then compare pairs only WITHIN a
+    cluster — vector v is a duplicate iff some u < v (by vec_id) in the
+    same cluster has cosine ≥ ``SEMDEDUP_EPS`` (lowest id is the kept
+    representative; the predicate is pairwise, so the verdict is
+    deterministic at any parallelism).
+
+    Scale shape: centroids come from the same bounded-sample spherical
+    k-means as IVF (train small, assign streamed); assignment is one
+    vectorized map over the corpus; the O(m²) compare is confined to one
+    cluster's members per group (a real corpus scales nlist ~ N/1000 to
+    bound m, the paper's configuration). Rows-only driver entry (k-means
+    is not ANSI-SQL); conformance is pytest-tested on planted duplicates."""
+    from .common import shuffle_partitions
+
+    cent = _train_ivf_centroids(sf_dir)
+
+    class AssignStage:
+        def __init__(self, centroids: np.ndarray):
+            self.cent = centroids
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["vec_id"].to_numpy()
+            col = batch["embedding"]
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            m = flat.reshape(len(batch), -1)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            cluster = np.argmax(m @ self.cent.T, axis=1)
+            dim = m.shape[1]
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "cluster": pa.array(cluster, pa.int64()),
+                    "nemb": pa.FixedSizeListArray.from_arrays(
+                        pa.array(m.reshape(-1), pa.float64()), dim
+                    ),
+                }
+            )
+
+    def dedup_cluster(group: pa.Table) -> pa.Table:
+        ids = group["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        col = group["nemb"]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        m = arr.flatten().to_numpy(zero_copy_only=False).reshape(len(group), -1)[order]
+        sim = m @ m.T
+        dup = (np.triu(sim, 1) >= SEMDEDUP_EPS).any(axis=0)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": group["cluster"].take(pa.array(order)),
+                "keep": pa.array(~dup, pa.bool_()),
+            }
+        )
+
+    return (
+        read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+        .map_batches(AssignStage, fn_constructor_kwargs={"centroids": cent},
+                     batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
+        .groupby("cluster", num_partitions=shuffle_partitions(sf_dir))
+        .map_groups(dedup_cluster, batch_format="pyarrow")
+    )
+
+
 QUERIES = {
     "knn_cosine": q_knn_cosine,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "embedding_dups": q_embedding_dups,
+    "semdedup": q_semdedup,
 }
 
 ORACLE_SQL = {

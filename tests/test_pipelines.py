@@ -363,3 +363,16 @@ def test_pack_sequences_contiguous_stream(ray_session, planted_docs_dir):
     assert (t["seq_id"].to_numpy() == start // PACK_SEQ_LEN).all()
     last = (start + np.maximum(n, 1) - 1) // PACK_SEQ_LEN
     assert (t["n_seqs"].to_numpy() == last - t["seq_id"].to_numpy() + 1).all()
+
+
+def test_semdedup_flags_planted_duplicate(ray_session, planted_docs_dir):
+    """SemDeDup keeps the lowest-vec_id representative of the planted
+    near-identical pair (7 ≈ 0) and nothing else is above the ε bar."""
+    from pears_lite_ray.pipelines.similarity import q_semdedup
+
+    t = q_semdedup(planted_docs_dir).to_pandas().set_index("vec_id").sort_index()
+    assert len(t) == 40
+    assert bool(t.loc[0, "keep"])
+    assert not bool(t.loc[7, "keep"])            # dup of 0, higher id loses
+    assert t.loc[0, "cluster"] == t.loc[7, "cluster"]
+    assert int((~t["keep"]).sum()) == 1          # random 16-dim vecs stay
