@@ -561,11 +561,120 @@ def q_simhash(sf_dir: str):
     )
 
 
+# -- duplicated-span coverage (ExactSubstr-style) ----------------------------
+
+DUP_SPAN_K = 6
+
+
+def q_dup_spans(sf_dir: str, k: int = DUP_SPAN_K):
+    """Cross-document duplicated-span coverage report — the ExactSubstr
+    dedup signal of Lee et al. 2021 ("Deduplicating Training Data Makes
+    Language Models Better"), approximated at the k-word-gram level: a
+    k-gram occurring in ≥2 distinct documents marks every one of its
+    occurrences, and per doc we report how many gram starts are duplicated
+    plus how many token positions the UNION of their k-wide spans covers.
+
+    ONE corpus read, TWO shuffles, zero joins, zero driver state:
+
+    1. per-batch gram explode — sequence-ordered FNV-1a k-gram hashes with
+       0-based start positions. One extra STATS row per doc rides the same
+       stream (key = doc_id, n_tokens packed as ``pos = -1 - n_tokens``)
+       so doc lengths reach the final rollup without a join;
+    2. ``groupby(gram)``: a group whose pos≥0 rows span ≥2 distinct docs
+       re-emits those occurrence rows; stats rows (pos<0) always pass, so
+       a hash collision between a doc_id key and a real gram hash cannot
+       corrupt either side;
+    3. ``groupby(doc_id)``: vectorized interval union of the duplicated
+       spans → covered token count + 6dp fraction.
+
+    The gram shuffle ships 24 bytes per occurrence (hash, doc, pos). At
+    100 TB the plan holds unchanged: a boilerplate gram shared by millions
+    of docs re-emits its occurrence list linearly — per-doc rollup, not
+    pairwise — so no hot cap is needed (contrast q_jaccard_pairs)."""
+    from .common import shuffle_partitions
+
+    nparts = shuffle_partitions(sf_dir)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks, counts = tokens_per_row(batch)
+        ids = batch["doc_id"].to_numpy()
+        rows, hs = shingle_stream(toks, k)
+        if rows.size:
+            run_start = np.flatnonzero(np.r_[True, rows[1:] != rows[:-1]])
+            run_len = np.diff(np.r_[run_start, rows.size])
+            pos = np.arange(rows.size, dtype=np.int64) - np.repeat(
+                run_start, run_len
+            )
+            gram = hs.view(np.int64)
+            doc = ids[rows]
+        else:
+            pos = np.empty(0, np.int64)
+            gram = np.empty(0, np.int64)
+            doc = np.empty(0, np.int64)
+        return pa.table(
+            {
+                "gram": pa.array(np.concatenate([gram, ids]), pa.int64()),
+                "doc_id": pa.array(np.concatenate([doc, ids]), pa.int64()),
+                "pos": pa.array(
+                    np.concatenate([pos, -1 - counts]), pa.int64()
+                ),
+            }
+        )
+
+    def keep_dup(group: pa.Table) -> pa.Table:
+        pos = group["pos"].to_numpy()
+        doc = group["doc_id"].to_numpy()
+        occ = pos >= 0
+        keep = ~occ
+        if occ.any() and np.unique(doc[occ]).size >= 2:
+            keep = keep | occ
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[keep], pa.int64()),
+                "pos": pa.array(pos[keep], pa.int64()),
+            }
+        )
+
+    def coverage(group: pa.Table) -> pa.Table:
+        pos = group["pos"].to_numpy()
+        doc_id = int(group["doc_id"][0].as_py())
+        n_tokens = int(-1 - pos[pos < 0].min())
+        starts = np.sort(pos[pos >= 0])
+        if starts.size:
+            gaps = np.minimum(np.diff(starts), k)
+            covered = int(gaps.sum()) + k
+        else:
+            covered = 0
+        frac = round6(
+            np.array([covered / max(n_tokens, 1)], dtype=np.float64)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array([doc_id], pa.int64()),
+                "n_tokens": pa.array([n_tokens], pa.int64()),
+                "n_grams": pa.array([max(n_tokens - k + 1, 0)], pa.int64()),
+                "n_dup_grams": pa.array([int(starts.size)], pa.int64()),
+                "covered_tokens": pa.array([covered], pa.int64()),
+                "dup_fraction": pa.array(frac, pa.float64()),
+            }
+        )
+
+    return (
+        read_documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("gram", num_partitions=nparts)
+        .map_groups(keep_dup, batch_format="pyarrow")
+        .groupby("doc_id", num_partitions=nparts)
+        .map_groups(coverage, batch_format="pyarrow")
+    )
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
+    "dup_spans": q_dup_spans,
 }
 
 _FNV_WORD = sql_fnv1a("w")
@@ -620,4 +729,36 @@ fps AS (
 )
 SELECT d.doc_id, coalesce(f.simhash, 0)::BIGINT AS simhash
 FROM documents d LEFT JOIN fps f ON f.doc_id = d.doc_id""",
+    # dup_spans replicated on gram STRINGS (the engine groups 64-bit FNV
+    # hashes — collision-free at testable scale, same argument as
+    # jaccard_pairs). Interval union via the sorted-starts gap trick:
+    # each duplicated start contributes min(next_start - start, K) covered
+    # tokens, the last contributes K.
+    "dup_spans": f"""
+WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
+stats AS (SELECT doc_id, len(t) AS n_tokens,
+                 greatest(len(t) - {DUP_SPAN_K - 1}, 0) AS n_grams
+          FROM toks),
+grams AS (
+  SELECT doc_id, i AS pos,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+         t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] AS g
+  FROM toks, UNNEST(generate_series(1, len(t) - {DUP_SPAN_K - 1})) AS u(i)
+),
+dupg AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) > 1),
+dup AS (SELECT doc_id, pos FROM grams JOIN dupg USING (g)),
+iv AS (
+  SELECT doc_id,
+         least(coalesce(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                          - pos, {DUP_SPAN_K}), {DUP_SPAN_K}) AS contrib
+  FROM dup
+),
+cov AS (SELECT doc_id, count(*) AS n_dup_grams, sum(contrib) AS covered
+        FROM iv GROUP BY doc_id)
+SELECT s.doc_id, s.n_tokens, s.n_grams,
+       coalesce(c.n_dup_grams, 0)::BIGINT AS n_dup_grams,
+       coalesce(c.covered, 0)::BIGINT AS covered_tokens,
+       round(coalesce(c.covered, 0)::DOUBLE / greatest(s.n_tokens, 1), 6)
+         AS dup_fraction
+FROM stats s LEFT JOIN cov c USING (doc_id)""",
 }

@@ -376,3 +376,37 @@ def test_semdedup_flags_planted_duplicate(ray_session, planted_docs_dir):
     assert not bool(t.loc[7, "keep"])            # dup of 0, higher id loses
     assert t.loc[0, "cluster"] == t.loc[7, "cluster"]
     assert int((~t["keep"]).sum()) == 1          # random 16-dim vecs stay
+
+
+def test_dup_spans_oracle_parity(ray_session, planted_docs_dir):
+    """Engine vs the DuckDB oracle on the planted-dup corpus: docs 0/1 are
+    exact dups (full coverage), 2/3 near dups (partial), randoms mostly 0."""
+    import duckdb
+
+    from pears_lite_ray.pipelines.dedup import ORACLE_SQL, q_dup_spans
+
+    out = (
+        _tbl(q_dup_spans(planted_docs_dir))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(planted_docs_dir, 'documents.parquet')}'"
+    )
+    gold = (
+        con.sql(ORACLE_SQL["dup_spans"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(gold) == 30
+    for c in ("n_tokens", "n_grams", "n_dup_grams", "covered_tokens"):
+        assert (out[c].to_numpy() == gold[c].to_numpy()).all(), c
+    assert np.allclose(out["dup_fraction"], gold["dup_fraction"])
+    byid = out.set_index("doc_id")
+    assert byid.loc[0, "covered_tokens"] == byid.loc[0, "n_tokens"] == 60
+    assert byid.loc[1, "covered_tokens"] == 60          # exact dup: full span
+    assert (byid.loc[4:, "n_dup_grams"] == 0).all()     # randoms untouched
