@@ -669,23 +669,288 @@ def q_dup_spans(sf_dir: str, k: int = DUP_SPAN_K):
     )
 
 
+# -- connected components over the near-dup graph (dup clusters) -------------
+
+# Edge threshold: a jaccard_pairs edge with 6dp-rounded Jaccard >= tau is a
+# near-duplicate link; clusters are the transitive closure (the RefinedWeb /
+# SlimPajama "keep one doc per cluster" assignment step).
+CC_TAU = 0.5
+# Alternating large-star/small-star converges in O(log^2 n) rounds (Kiveris
+# et al. 2014, "Connected Components in MapReduce and Beyond"); 40 rounds
+# covers any graph a 64-bit id space can hold. Hitting the cap is a bug.
+CC_MAX_ROUNDS = 40
+
+
+def _canon_edges(a: np.ndarray, b: np.ndarray) -> pa.Table:
+    """(min, max) edge table, self-loops dropped."""
+    keep = a != b
+    a, b = a[keep], b[keep]
+    return pa.table(
+        {
+            "edge_a": pa.array(np.minimum(a, b), pa.int64()),
+            "edge_b": pa.array(np.maximum(a, b), pa.int64()),
+        }
+    )
+
+
+def _dedup_edges(ds, nparts: int):
+    """Distinct canonical edges via the bucketed-groupby pattern (same
+    rationale as the q_jaccard_pairs pair combine: N buckets instead of one
+    Ray aggregate group per edge)."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket",
+            pa.array(
+                pair_buckets(t["edge_a"].to_numpy(), t["edge_b"].to_numpy()),
+                pa.int32(),
+            ),
+        )
+
+    def uniq(group: pa.Table) -> pa.Table:
+        a = group["edge_a"].to_numpy()
+        b = group["edge_b"].to_numpy()
+        keep = a != b  # self-loops carry no connectivity
+        a, b = a[keep], b[keep]
+        if a.size == 0:
+            return pa.table(
+                {
+                    "edge_a": pa.array([], pa.int64()),
+                    "edge_b": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        return pa.table(
+            {
+                "edge_a": pa.array(a[first], pa.int64()),
+                "edge_b": pa.array(b[first], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=nparts)
+        .map_groups(uniq, batch_format="pyarrow")
+    )
+
+
+def _large_star(edges, nparts: int):
+    """Large-star: every node connects its STRICTLY LARGER neighbours to the
+    minimum of its closed neighbourhood. Runs over the symmetrized edge
+    list — one groupby(node) shuffle."""
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t["edge_a"].to_numpy()
+        b = t["edge_b"].to_numpy()
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([a, b]), pa.int64()),
+                "v": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    def star(group: pa.Table) -> pa.Table:
+        u = int(group["u"][0].as_py())
+        v = group["v"].to_numpy()
+        m = min(int(v.min()), u)
+        out = v[v > u]
+        return _canon_edges(np.full(out.size, m, dtype=np.int64), out)
+
+    return (
+        edges.map_batches(sym, batch_format="pyarrow")
+        .groupby("u", num_partitions=nparts)
+        .map_groups(star, batch_format="pyarrow")
+    )
+
+
+def _small_star(edges, nparts: int):
+    """Small-star: every node connects its smaller neighbours (and itself)
+    to the minimum of that set. Canonical edges already point larger ->
+    smaller, so the group key is edge_b — one groupby shuffle, no
+    symmetrize."""
+
+    def star(group: pa.Table) -> pa.Table:
+        u = int(group["edge_b"][0].as_py())
+        v = np.unique(group["edge_a"].to_numpy())
+        m = int(v[0])  # unique() sorts ascending
+        members = np.concatenate([v[1:], np.array([u], dtype=np.int64)])
+        return _canon_edges(
+            np.full(members.size, m, dtype=np.int64), members
+        )
+
+    return edges.groupby("edge_b", num_partitions=nparts).map_groups(
+        star, batch_format="pyarrow"
+    )
+
+
+def _edge_sig(edges) -> tuple[int, int]:
+    """(count, order-independent xor-hash) of an edge Dataset — the per-round
+    convergence check. The per-block partials are one row each; only those
+    partials reach the driver."""
+
+    def part(t: pa.Table) -> pa.Table:
+        a = t["edge_a"].to_numpy().astype(np.uint64)
+        b = t["edge_b"].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (a * np.uint64(0x9E3779B97F4A7C15)) ^ (
+                b * np.uint64(0xC2B2AE3D27D4EB4F)
+            )
+            h ^= h >> np.uint64(33)
+        x = int(np.bitwise_xor.reduce(h)) if h.size else 0
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                "h": pa.array([x], pa.uint64()),
+            }
+        )
+
+    n, h = 0, 0
+    for row in edges.map_batches(part, batch_format="pyarrow").take_all():
+        n += int(row["n"])
+        h ^= int(row["h"])
+    return n, h
+
+
+def connected_components(edges, nparts: int = JOIN_PARTITIONS,
+                         max_rounds: int = CC_MAX_ROUNDS):
+    """Distributed connected components over an (edge_a, edge_b) int64
+    Dataset: alternating large-star / small-star rounds (Kiveris et al.
+    2014) until the edge set reaches a fixpoint, at which every component
+    is a star centred on its minimum node id.
+
+    Returns a (node, label) Dataset covering every node incident to an
+    edge; a node may appear in several rows (hub self-labels once per
+    block) — callers finish with a per-node min, which q_dup_clusters does
+    with a bucketed groupby.
+
+    Only the EDGE SET is materialized between rounds (it must be: each
+    round's input feeds two different consumers, the star shuffle and the
+    convergence signature). Edges are near-dup pairs — orders of magnitude
+    smaller than the corpus — and each round's shuffle moves 16-byte rows,
+    so the loop holds at 100 TB corpus scale where the corpus itself never
+    re-enters the iteration."""
+    edges = _dedup_edges(edges, nparts).materialize()
+    sig = _edge_sig(edges)
+    if sig[0] == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "label": pa.array([], pa.int64()),
+                }
+            )
+        )
+    for _ in range(max_rounds):
+        edges = _dedup_edges(
+            _small_star(_large_star(edges, nparts), nparts), nparts
+        ).materialize()
+        new_sig = _edge_sig(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+
+    def labels(t: pa.Table) -> pa.Table:
+        a = t["edge_a"].to_numpy()
+        b = t["edge_b"].to_numpy()
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([b, a]), pa.int64()),
+                "label": pa.array(np.concatenate([a, a]), pa.int64()),
+            }
+        )
+
+    return edges.map_batches(labels, batch_format="pyarrow")
+
+
+def q_dup_clusters(sf_dir: str, tau: float = CC_TAU):
+    """Near-duplicate CLUSTER assignment: every document labelled with the
+    minimum doc_id of its connected component in the jaccard-pair graph
+    (edges: 6dp Jaccard >= tau). The transitive-closure step that turns
+    pairwise near-dup evidence into "keep one per cluster" — RefinedWeb /
+    SlimPajama-style dedup. SQL-oracle-checked (DuckDB recursive CTE over
+    the same pair graph).
+
+    Pipeline: q_jaccard_pairs (one corpus read, two shuffles) -> threshold
+    filter -> alternating-star connected components over the EDGE SET only
+    -> union with per-doc self-labels -> bucketed per-doc min. Singleton
+    docs appear with cluster_id = doc_id."""
+    from .common import shuffle_partitions
+
+    nparts = shuffle_partitions(sf_dir)
+
+    def thresh(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        hit = t.filter(pc.greater_equal(t["jaccard"], pa.scalar(float(tau))))
+        return pa.table(
+            {"edge_a": hit["doc_a"], "edge_b": hit["doc_b"]}
+        )
+
+    edges = q_jaccard_pairs(sf_dir).map_batches(
+        thresh, batch_format="pyarrow"
+    )
+    members = connected_components(edges, nparts)
+
+    def self_label(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks() if isinstance(
+            t["doc_id"], pa.ChunkedArray
+        ) else t["doc_id"]
+        return pa.table({"node": ids, "label": ids})
+
+    everyone = members.union(
+        read_documents(sf_dir, columns=["doc_id"]).map_batches(
+            self_label, batch_format="pyarrow"
+        )
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy()
+        return t.append_column(
+            "bucket", pa.array((node % nparts).astype(np.int32), pa.int32())
+        )
+
+    def min_label(group: pa.Table) -> pa.Table:
+        node = group["node"].to_numpy()
+        lab = group["label"].to_numpy()
+        order = np.lexsort((lab, node))
+        node, lab = node[order], lab[order]
+        first = np.r_[True, node[1:] != node[:-1]]
+        return pa.table(
+            {
+                "doc_id": pa.array(node[first], pa.int64()),
+                "cluster_id": pa.array(lab[first], pa.int64()),
+            }
+        )
+
+    return (
+        everyone.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=nparts)
+        .map_groups(min_label, batch_format="pyarrow")
+    )
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
     "dup_spans": q_dup_spans,
+    "dup_clusters": q_dup_clusters,
 }
 
 _FNV_WORD = sql_fnv1a("w")
 
-ORACLE_SQL = {
-    "exact_dedup": """
-SELECT doc_id, md5(text) AS text_md5,
-       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_doc_id
-FROM documents""",
-    "jaccard_pairs": f"""
-WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
+# Shared CTE chain producing the jaccard pair table (jp) — used verbatim by
+# the jaccard_pairs oracle and, under WITH RECURSIVE, by dup_clusters.
+_JACCARD_CTES = f"""toks AS (SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
 sh AS (
   SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
   FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
@@ -695,12 +960,39 @@ pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
+),
+jp AS (
+  SELECT p.doc_a, p.doc_b, p.inter,
+         round(p.inter::DOUBLE / (sa.nsh + sb.nsh - p.inter), 6) AS jaccard
+  FROM pairs p
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+)"""
+
+ORACLE_SQL = {
+    "exact_dedup": """
+SELECT doc_id, md5(text) AS text_md5,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_doc_id
+FROM documents""",
+    "jaccard_pairs": f"""
+WITH {_JACCARD_CTES}
+SELECT doc_a, doc_b, inter, jaccard FROM jp""",
+    # dup_clusters: transitive closure of the tau-thresholded pair graph.
+    # The recursive member propagates every reachable label to each doc
+    # (UNION dedups, so it terminates); min(label) per doc is the component
+    # minimum — exactly the alternating-star fixpoint the engine computes.
+    "dup_clusters": f"""
+WITH RECURSIVE {_JACCARD_CTES},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM jp WHERE jaccard >= {CC_TAU}
+  UNION SELECT doc_b, doc_a FROM jp WHERE jaccard >= {CC_TAU}
+),
+lab(doc, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, l.lab FROM lab l JOIN edges e ON e.a = l.doc
 )
-SELECT p.doc_a, p.doc_b, p.inter,
-       round(p.inter::DOUBLE / (sa.nsh + sb.nsh - p.inter), 6) AS jaccard
-FROM pairs p
-JOIN sizes sa ON sa.doc_id = p.doc_a
-JOIN sizes sb ON sb.doc_id = p.doc_b""",
+SELECT doc AS doc_id, min(lab) AS cluster_id FROM lab GROUP BY doc""",
     # SimHash replicated in SQL: FNV-1a per distinct word (list_reduce over
     # ord() bytes), tf-weighted bit votes, bit-majority fingerprint with the
     # sign bit masked off (bits 0..62 only, matching the engine's
