@@ -509,6 +509,51 @@ def q_pack_sequences(sf_dir: str):
     ).map_groups(assign, batch_format="pyarrow")
 
 
+# -- PII scrub ---------------------------------------------------------------
+
+# RE2 patterns shared verbatim with the DuckDB oracle: BOTH Arrow's
+# replace_substring_regex/count_substring_regex and DuckDB's
+# regexp_replace(..., 'g')/regexp_extract_all compile with RE2, so the same
+# pattern string redacts identically on both sides (no lookaround — RE2 has
+# none). Applied in a fixed order (email -> ip -> phone) because the phone
+# pattern would otherwise consume dotted IPv4 digit runs.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d[\d\s().-]{7,}\d"
+
+
+def q_pii_scrub(sf_dir: str):
+    """PII redaction pass (CCNet/Dolma-style pre-training scrub): emails,
+    IPv4 addresses and phone-shaped digit runs replaced with typed
+    placeholder tokens, with per-category match counts. Entirely Arrow
+    compute kernels (RE2) over zero-copy batches — no Python per-row loop,
+    no state; the stage fuses with the parquet read. SQL-oracle-checked
+    (DuckDB runs the same RE2 patterns)."""
+    import pyarrow.compute as pc
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        n_emails = pc.count_substring_regex(text, PII_EMAIL)
+        text = pc.replace_substring_regex(text, PII_EMAIL, "<EMAIL>")
+        n_ips = pc.count_substring_regex(text, PII_IP)
+        text = pc.replace_substring_regex(text, PII_IP, "<IP>")
+        n_phones = pc.count_substring_regex(text, PII_PHONE)
+        text = pc.replace_substring_regex(text, PII_PHONE, "<PHONE>")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "clean_text": text,
+                "n_emails": pc.cast(n_emails, pa.int64()),
+                "n_ips": pc.cast(n_ips, pa.int64()),
+                "n_phones": pc.cast(n_phones, pa.int64()),
+            }
+        )
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        scrub, batch_format="pyarrow"
+    )
+
+
 QUERIES = {
     "quality": q_quality,
     "token_count": q_token_count,
@@ -520,6 +565,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "top_ngrams": q_top_ngrams,
     "pack_sequences": q_pack_sequences,
+    "pii_scrub": q_pii_scrub,
 }
 
 def _sql_marker_list(lang: str) -> str:
@@ -669,7 +715,26 @@ SELECT doc_id,
 FROM o"""
 
 
+_SQL_PII = f"""
+WITH s1 AS (
+  SELECT doc_id, len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_emails,
+         regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g') AS t1
+  FROM documents),
+s2 AS (
+  SELECT *, len(regexp_extract_all(t1, '{PII_IP}')) AS n_ips,
+         regexp_replace(t1, '{PII_IP}', '<IP>', 'g') AS t2
+  FROM s1),
+s3 AS (
+  SELECT *, len(regexp_extract_all(t2, '{PII_PHONE}')) AS n_phones,
+         regexp_replace(t2, '{PII_PHONE}', '<PHONE>', 'g') AS t3
+  FROM s2)
+SELECT doc_id, t3 AS clean_text,
+       n_emails::BIGINT AS n_emails, n_ips::BIGINT AS n_ips,
+       n_phones::BIGINT AS n_phones
+FROM s3"""
+
 ORACLE_SQL = {
+    "pii_scrub": _SQL_PII,
     "decontaminate": _SQL_DECONTAMINATE,
     "top_ngrams": _SQL_TOP_NGRAMS,
     "pack_sequences": _SQL_PACK,

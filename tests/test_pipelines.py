@@ -410,3 +410,52 @@ def test_dup_spans_oracle_parity(ray_session, planted_docs_dir):
     assert byid.loc[0, "covered_tokens"] == byid.loc[0, "n_tokens"] == 60
     assert byid.loc[1, "covered_tokens"] == 60          # exact dup: full span
     assert (byid.loc[4:, "n_dup_grams"] == 0).all()     # randoms untouched
+
+
+def test_pii_scrub_redacts_and_matches_oracle(ray_session, tmp_path):
+    """Planted PII corpus: redaction output + counts match the DuckDB RE2
+    oracle byte-for-byte, and the placeholders land where expected."""
+    import duckdb
+
+    from pears_lite_ray.pipelines.textstats import ORACLE_SQL, q_pii_scrub
+
+    texts = [
+        "write to alice.b+spam@mail.example.org for details",
+        "call +1 (415) 555-0100 or 020 7946 0958 today",
+        "origin 192.0.2.17, proxy 10.0.0.1, contact ops@example.io",
+        "clean document with digits 42 and no identifiers",
+        "edge: a@b.cd next to 1.2.3.4.5.6.7.8 run",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        os.path.join(str(tmp_path), "documents.parquet"),
+    )
+    out = (
+        _tbl(q_pii_scrub(str(tmp_path)))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(str(tmp_path), 'documents.parquet')}'"
+    )
+    gold = (
+        con.sql(ORACLE_SQL["pii_scrub"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in ("clean_text", "n_emails", "n_ips", "n_phones"):
+        assert (out[c].to_numpy() == gold[c].to_numpy()).all(), c
+    byid = out.set_index("doc_id")
+    assert "<EMAIL>" in byid.loc[0, "clean_text"]
+    assert byid.loc[1, "clean_text"].count("<PHONE>") == 2
+    assert byid.loc[2, "n_ips"] == 2 and byid.loc[2, "n_emails"] == 1
+    assert byid.loc[3, "clean_text"] == texts[3]        # untouched
