@@ -813,7 +813,7 @@ def _edge_sig(edges) -> tuple[int, int]:
     return n, h
 
 
-def connected_components(edges, nparts: int = JOIN_PARTITIONS,
+def connected_components(edges, nparts: int | None = None,
                          max_rounds: int = CC_MAX_ROUNDS):
     """Distributed connected components over an (edge_a, edge_b) int64
     Dataset: alternating large-star / small-star rounds (Kiveris et al.
@@ -830,7 +830,28 @@ def connected_components(edges, nparts: int = JOIN_PARTITIONS,
     convergence signature). Edges are near-dup pairs — orders of magnitude
     smaller than the corpus — and each round's shuffle moves 16-byte rows,
     so the loop holds at 100 TB corpus scale where the corpus itself never
-    re-enters the iteration."""
+    re-enters the iteration.
+
+    ``nparts=None`` sizes the per-round shuffles from the EDGE data (16
+    bytes/row), not the corpus: a near-dup edge set is kilobytes at bench
+    scale and every extra hash partition costs a standing aggregator actor
+    per round (see shuffle_partitions); at 100 TB the same rule scales the
+    partition count with the actual edge bytes."""
+    import ray
+
+    edges = edges.materialize()
+    n_raw = edges.count()
+    if nparts is None:
+        cpus = (
+            int(ray.cluster_resources().get("CPU", 4))
+            if ray.is_initialized()
+            else 4
+        )
+        from .common import _SHUFFLE_PARTITION_BYTES
+
+        nparts = int(
+            max(2, min(n_raw * 16 // _SHUFFLE_PARTITION_BYTES + 1, 4 * cpus))
+        )
     edges = _dedup_edges(edges, nparts).materialize()
     sig = _edge_sig(edges)
     if sig[0] == 0:
@@ -897,7 +918,9 @@ def q_dup_clusters(sf_dir: str, tau: float = CC_TAU):
     edges = q_jaccard_pairs(sf_dir).map_batches(
         thresh, batch_format="pyarrow"
     )
-    members = connected_components(edges, nparts)
+    # edge-sized shuffle partitions inside the CC loop (nparts=None); the
+    # final per-doc label reduce below is corpus-sized and keeps `nparts`
+    members = connected_components(edges, nparts=None)
 
     def self_label(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].combine_chunks() if isinstance(
