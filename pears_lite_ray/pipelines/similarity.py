@@ -18,7 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .common import pool, read_embeddings
+from .common import pool, read_embeddings, round6
 
 N_QUERY_VECS = 5   # queries = embeddings with vec_id < 5
 TOP_K = 10
@@ -545,12 +545,150 @@ def q_semdedup(sf_dir: str):
     )
 
 
+# -- distributed k-means ------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 8
+# Fixed-point scale for the centroid-update accumulators: per-point
+# contributions are quantized to int64 before the distributed sum, so the
+# reduce is exact integer addition — associative and commutative — and the
+# result is bit-identical at ANY parallelism / batch split (a float sum's
+# value depends on reduction order). Capacity: |x|·2^20 per element, int64
+# holds ~2^42 points per cluster before overflow — beyond any corpus here;
+# at larger scale drop SCALE or widen to two-limb accumulation.
+KMEANS_SCALE = float(1 << 20)
+
+
+def _kmeans_assign(mat: np.ndarray, cent: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """argmin squared-L2 assignment, ties to the lowest cluster index.
+    Distances via explicit per-centroid subtraction (k is small), NOT one
+    gemm: np.sum over the fixed dim axis reduces in a shape-independent
+    order, so a row's distance is bit-identical however rows are batched."""
+    d2 = np.empty((mat.shape[0], cent.shape[0]), dtype=np.float64)
+    for c in range(cent.shape[0]):
+        diff = mat - cent[c]
+        d2[:, c] = np.einsum("ij,ij->i", diff, diff)
+    assign = np.argmin(d2, axis=1)
+    return assign, d2[np.arange(mat.shape[0]), assign]
+
+
+def q_kmeans_embed(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
+    """Distributed Lloyd's k-means over the full embeddings table — the
+    clustering stage a curation pipeline runs before per-cluster work
+    (semdedup is the bounded-SAMPLE variant; this one updates centroids
+    from EVERY point each iteration).
+
+    Scale shape per iteration: centroids (k × dim, model state) are
+    broadcast INTO the map tasks; each batch computes assignments and
+    emits one partial row per cluster present (count + fixed-point
+    coordinate sum), a tiny groupby(cluster) sums the partials, and only
+    those k rows reach the driver for the centroid update — the corpus
+    streams, the model rides the driver loop. Deterministic by
+    construction: init = the k lowest vec_ids (predicate-pushdown read),
+    integer accumulators (see KMEANS_SCALE), argmin ties to the lowest
+    cluster. Rows-only driver check (iterative — not SQL-expressible);
+    pytest asserts exact equality with a single-process reference run and
+    across different parallelism."""
+    import pyarrow.parquet as pq
+
+    from .common import embeddings_path
+
+    init = pq.read_table(
+        embeddings_path(sf_dir),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", k)],
+    )
+    order = np.argsort(init["vec_id"].to_numpy())
+    flat = init["embedding"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False
+    ).astype(np.float64)
+    dim = flat.size // len(init)
+    cent = flat.reshape(-1, dim)[order].copy()
+
+    def batch_mat(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        ids = batch["vec_id"].to_numpy()
+        col = batch["embedding"]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        m = arr.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64
+        ).reshape(len(batch), -1)
+        return ids, m
+
+    for _ in range(iters):
+        cent_now = cent.copy()  # snapshot: the closure ships THIS iteration's model
+
+        def partials(batch: pa.Table) -> pa.Table:
+            _, m = batch_mat(batch)
+            assign, _ = _kmeans_assign(m, cent_now)
+            qm = np.round(m * KMEANS_SCALE).astype(np.int64)
+            present = np.unique(assign)
+            sums = np.zeros((present.size, qm.shape[1]), dtype=np.int64)
+            counts = np.zeros(present.size, dtype=np.int64)
+            for i, c in enumerate(present):
+                members = qm[assign == c]
+                sums[i] = members.sum(axis=0)
+                counts[i] = members.shape[0]
+            return pa.table(
+                {
+                    "cluster": pa.array(present.astype(np.int64), pa.int64()),
+                    "n": pa.array(counts, pa.int64()),
+                    "qsum": pa.array(sums.tolist(), pa.list_(pa.int64())),
+                }
+            )
+
+        def reduce_cluster(group: pa.Table) -> pa.Table:
+            qs = np.array(group["qsum"].to_pylist(), dtype=np.int64)
+            return pa.table(
+                {
+                    "cluster": pa.array([group["cluster"][0].as_py()], pa.int64()),
+                    "n": pa.array(
+                        [int(group["n"].to_numpy().sum())], pa.int64()
+                    ),
+                    "qsum": pa.array([qs.sum(axis=0).tolist()],
+                                     pa.list_(pa.int64())),
+                }
+            )
+
+        rows = (
+            read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+            .map_batches(partials, batch_format="pyarrow")
+            .groupby("cluster", num_partitions=2)
+            .map_groups(reduce_cluster, batch_format="pyarrow")
+            .take_all()  # k tiny model rows — not data
+        )
+        for r in rows:
+            c = int(r["cluster"])
+            n = int(r["n"])
+            if n:
+                cent[c] = np.asarray(r["qsum"], dtype=np.float64) / (
+                    KMEANS_SCALE * n
+                )
+
+    cent_final = cent
+
+    def assign_out(batch: pa.Table) -> pa.Table:
+        ids, m = batch_mat(batch)
+        assign, d2 = _kmeans_assign(m, cent_final)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(assign.astype(np.int64), pa.int64()),
+                "dist2": pa.array(round6(d2), pa.float64()),
+            }
+        )
+
+    return read_embeddings(sf_dir, columns=["vec_id", "embedding"]).map_batches(
+        assign_out, batch_format="pyarrow"
+    )
+
+
 QUERIES = {
     "knn_cosine": q_knn_cosine,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "embedding_dups": q_embedding_dups,
     "semdedup": q_semdedup,
+    "kmeans_embed": q_kmeans_embed,
 }
 
 ORACLE_SQL = {

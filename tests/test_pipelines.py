@@ -459,3 +459,54 @@ def test_pii_scrub_redacts_and_matches_oracle(ray_session, tmp_path):
     assert byid.loc[1, "clean_text"].count("<PHONE>") == 2
     assert byid.loc[2, "n_ips"] == 2 and byid.loc[2, "n_emails"] == 1
     assert byid.loc[3, "clean_text"] == texts[3]        # untouched
+
+
+def test_kmeans_embed_matches_reference_and_deterministic(
+    ray_session, planted_docs_dir
+):
+    """Distributed Lloyd's must equal a single-process reference run of the
+    same fixed-point algorithm EXACTLY (integer accumulators make the
+    reduce order-independent), at any parallelism."""
+    from pears_lite_ray.pipelines.similarity import (
+        KMEANS_ITERS,
+        KMEANS_SCALE,
+        _kmeans_assign,
+        q_kmeans_embed,
+    )
+
+    k = 4
+    out = (
+        _tbl(q_kmeans_embed(planted_docs_dir, k=k))
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    emb = pq.read_table(os.path.join(planted_docs_dir, "embeddings.parquet"))
+    ids = emb["vec_id"].to_numpy()
+    mat = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    cent = mat[:k].copy()
+    for _ in range(KMEANS_ITERS):
+        assign, _ = _kmeans_assign(mat, cent)
+        qm = np.round(mat * KMEANS_SCALE).astype(np.int64)
+        for c in range(k):
+            members = qm[assign == c]
+            if members.shape[0]:
+                cent[c] = members.sum(axis=0) / (KMEANS_SCALE * members.shape[0])
+    assign, d2 = _kmeans_assign(mat, cent)
+
+    assert (out["vec_id"].to_numpy() == ids).all()
+    assert (out["cluster"].to_numpy() == assign).all()
+    ref_d2 = np.sign(d2) * np.floor(np.abs(d2) * 1e6 + 0.5) / 1e6
+    assert (out["dist2"].to_numpy() == ref_d2).all()
+
+    # bit-identical on a different block layout (forces different batching)
+    out2 = (
+        _tbl(q_kmeans_embed(planted_docs_dir, k=k))
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert out.equals(out2)
