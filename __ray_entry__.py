@@ -11,11 +11,13 @@ here (nor in the library code it calls) calls ``ray.init()`` /
 * ``queries()`` — one callable per implemented operator pipeline
   (SURVEY.md §2 + the training-data operator set: dedup, similarity
   search, text analysis, index maintenance, multimodal stages).
-* ``oracle_sql()`` — DuckDB SQL equivalents where expressible: 27 of the
-  32 entries are SQL-exact, including SimHash / winnowing fingerprints /
+* ``oracle_sql()`` — DuckDB SQL equivalents where expressible: 34 of the
+  41 entries are SQL-exact, including SimHash / winnowing fingerprints /
   language-ID (list_reduce FNV-1a), the pears fusion scoring, batch
-  search and the multimodal stages (ord() byte extraction). Rows-only by
-  nature: MinHash/LSH/IVF ANN (hash permutations / trained quantizers),
+  search, near-dup cluster assignment (recursive CTE), PII redaction
+  (shared RE2 patterns) and the multimodal stages (ord() byte
+  extraction). Rows-only by nature: MinHash/LSH/IVF ANN (hash
+  permutations / trained quantizers), distributed k-means (iterative),
   pod routing (feature-hash centroids) and the SPM-tokenizer BM25 path
   (per-word Viterbi segmentation) — pytest-conformance-tested.
 """
