@@ -105,12 +105,114 @@ def q_user_sessions(sf_dir: str):
     )
 
 
+ASOF_LEFT = "purchase"   # rows being enriched
+ASOF_RIGHT = "click"     # reference stream: latest prior row attaches
+
+
+def q_asof_join(sf_dir: str):
+    """AS-OF join — the time-series operator Ray Data has no primitive for,
+    expressed as composition (SURVEY custom-operator rule (a)): every
+    ``purchase`` event is joined to the LATEST ``click`` of the same user
+    with click.ts <= purchase.ts (ties: highest click event_id). INNER
+    as-of: purchases with no prior click are dropped — the output stays
+    null-free, which keeps the driver's value-hash comparison exact
+    (NaT/NaN never compare equal).
+
+    Shape: ONE read of the events table filtered to the two types inside
+    the map (column- and row-pruned before any shuffle), one
+    ``groupby(user_id)`` shuffle, and a per-group vectorized sorted-merge:
+    clicks sorted by (ts, event_id), ``np.searchsorted(right)`` finds each
+    purchase's as-of index in O(log n). Partitioning assumption (same as
+    sessionize): one user's events fit in a task — at 100 TB a pathological
+    user would need a ts-range sub-split. SQL-oracle-checked against a
+    window-ranked left join (deterministic, unlike a bare ASOF JOIN whose
+    equal-ts choice is unspecified)."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(
+            t["event_type"],
+            value_set=pa.array([ASOF_LEFT, ASOF_RIGHT], pa.string()),
+        )
+        return t.filter(mask)
+
+    def merge(group: pa.Table) -> pa.Table:
+        types = group["event_type"].to_pylist()
+        ids = group["event_id"].to_numpy()
+        ts = group["ts"].cast(pa.int64()).to_numpy()
+        val = group["value"].to_numpy()
+        is_l = np.array([x == ASOF_LEFT for x in types], dtype=bool)
+        lid, lts, lval = ids[is_l], ts[is_l], val[is_l]
+        rid, rts = ids[~is_l], ts[~is_l]
+        # purchases in output order (event_id); clicks by (ts, event_id) so
+        # index idx-1 is the max-ts prior click, equal ts -> max event_id
+        lorder = np.argsort(lid)
+        lid, lts, lval = lid[lorder], lts[lorder], lval[lorder]
+        rorder = np.lexsort((rid, rts))
+        rid, rts = rid[rorder], rts[rorder]
+        idx = np.searchsorted(rts, lts, side="right") - 1
+        hit = idx >= 0
+        lid, lts, lval, idx = lid[hit], lts[hit], lval[hit], idx[hit]
+        click_id = rid[idx]
+        click_ts = rts[idx]
+        return pa.table(
+            {
+                "event_id": pa.array(lid, pa.int64()),
+                "user_id": pa.array(
+                    np.full(lid.size, int(group["user_id"][0].as_py())),
+                    pa.int64(),
+                ),
+                "ts": pa.array(lts, pa.int64()).cast(pa.timestamp("us")),
+                "value": pa.array(lval, pa.float64()),
+                "click_event_id": pa.array(click_id, pa.int64()),
+                "click_ts": pa.array(click_ts, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "lag_us": pa.array(lts - click_ts, pa.int64()),
+            }
+        )
+
+    from .common import strip_schema_metadata
+
+    return (
+        rd.read_parquet(
+            events_path(sf_dir),
+            columns=["event_id", "ts", "user_id", "event_type", "value"],
+        )
+        .map_batches(strip_schema_metadata, batch_format="pyarrow")
+        .map_batches(keep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
 QUERIES = {
     "windowed_events": q_windowed_events,
     "user_sessions": q_user_sessions,
+    "asof_join": q_asof_join,
 }
 
 ORACLE_SQL = {
+    # deterministic as-of: window-ranked left join rather than DuckDB's
+    # ASOF JOIN, whose pick among equal click timestamps is unspecified —
+    # the rank order (ts DESC, event_id DESC) pins the same winner the
+    # engine's (ts, event_id)-sorted searchsorted picks.
+    "asof_join": f"""
+WITH p AS (SELECT * FROM events WHERE event_type = '{ASOF_LEFT}'),
+c AS (SELECT * FROM events WHERE event_type = '{ASOF_RIGHT}'),
+ranked AS (
+  SELECT p.event_id, p.user_id, p.ts, p.value,
+         c.event_id AS click_event_id, c.ts AS click_ts,
+         row_number() OVER (
+           PARTITION BY p.event_id
+           ORDER BY c.ts DESC, c.event_id DESC
+         ) AS rn
+  FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+)
+SELECT event_id, user_id, ts, value, click_event_id, click_ts,
+       date_diff('microsecond', click_ts, ts)::BIGINT AS lag_us
+FROM ranked WHERE rn = 1""",
     "windowed_events": """
 SELECT date_trunc('hour', ts) AS window_start,
        event_type,

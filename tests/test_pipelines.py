@@ -510,3 +510,62 @@ def test_kmeans_embed_matches_reference_and_deterministic(
         .reset_index(drop=True)
     )
     assert out.equals(out2)
+
+
+def test_asof_join_sorted_merge_and_ties(ray_session, tmp_path):
+    """Crafted events: equal-ts clicks force the tie-break (max event_id),
+    purchases before any click are dropped (inner as-of); full parity with
+    the window-ranked SQL oracle."""
+    import duckdb
+
+    from pears_lite_ray.pipelines.events import ORACLE_SQL, q_asof_join
+
+    us = 1_000_000
+    rows = [
+        # (event_id, ts_us, user_id, type, value)
+        (0, 10 * us, 1, "purchase", 5.0),    # before any click -> dropped
+        (1, 20 * us, 1, "click", 1.0),
+        (2, 20 * us, 1, "click", 2.0),       # same ts -> id 2 wins ties
+        (3, 30 * us, 1, "purchase", 7.0),    # matches click 2
+        (4, 25 * us, 1, "view", 0.0),        # other types ignored
+        (5, 20 * us, 2, "click", 3.0),
+        (6, 20 * us, 2, "purchase", 9.0),    # ts equal -> click attaches
+        (7, 40 * us, 2, "purchase", 1.5),    # same click, lag 20s
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+            }
+        ),
+        os.path.join(str(tmp_path), "events.parquet"),
+    )
+    out = (
+        _tbl(q_asof_join(str(tmp_path)))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert out["event_id"].tolist() == [3, 6, 7]
+    assert out["click_event_id"].tolist() == [2, 5, 5]
+    assert out["lag_us"].tolist() == [10 * us, 0, 20 * us]
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{os.path.join(str(tmp_path), 'events.parquet')}'"
+    )
+    gold = (
+        con.sql(ORACLE_SQL["asof_join"])
+        .df()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        assert (out[c].to_numpy() == gold[c].to_numpy()).all(), c
