@@ -187,10 +187,88 @@ def q_asof_join(sf_dir: str):
     )
 
 
+RANGE_LEFT = "error"
+RANGE_RIGHT = "purchase"
+RANGE_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def q_range_join(sf_dir: str):
+    """Bounded RANGE join (the second custom join Ray Data lacks): every
+    ``error`` event paired with each same-user ``purchase`` in the window
+    (error.ts, error.ts + 1 h]. Same composition as the as-of join —
+    filter at the read, one groupby(user_id) shuffle, per-group
+    searchsorted window slicing (two binary searches per left row, pairs
+    emitted with np.repeat — no per-row Python loop over matches). Output
+    is inner/null-free. The window bound keeps per-row fan-out finite, so
+    the operator scales wherever sessionize does (one user per task).
+    SQL-oracle-checked against the equivalent inequality join."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(
+            pc.is_in(
+                t["event_type"],
+                value_set=pa.array([RANGE_LEFT, RANGE_RIGHT], pa.string()),
+            )
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        types = group["event_type"].to_pylist()
+        ids = group["event_id"].to_numpy()
+        ts = group["ts"].cast(pa.int64()).to_numpy()
+        is_l = np.array([x == RANGE_LEFT for x in types], dtype=bool)
+        lid, lts = ids[is_l], ts[is_l]
+        rid, rts = ids[~is_l], ts[~is_l]
+        lorder = np.argsort(lid)
+        lid, lts = lid[lorder], lts[lorder]
+        rorder = np.lexsort((rid, rts))
+        rid, rts = rid[rorder], rts[rorder]
+        lo = np.searchsorted(rts, lts, side="right")           # strictly after
+        hi = np.searchsorted(rts, lts + RANGE_WINDOW_US, side="right")
+        n_hits = hi - lo
+        li = np.repeat(np.arange(lid.size), n_hits)
+        ri = np.concatenate(
+            [np.arange(a, b) for a, b in zip(lo, hi)]
+        ) if lid.size else np.empty(0, np.int64)
+        ri = ri.astype(np.int64)
+        return pa.table(
+            {
+                "error_event_id": pa.array(lid[li], pa.int64()),
+                "user_id": pa.array(
+                    np.full(li.size, int(group["user_id"][0].as_py())),
+                    pa.int64(),
+                ),
+                "error_ts": pa.array(lts[li], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "purchase_event_id": pa.array(rid[ri], pa.int64()),
+                "purchase_ts": pa.array(rts[ri], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "lag_us": pa.array(rts[ri] - lts[li], pa.int64()),
+            }
+        )
+
+    from .common import strip_schema_metadata
+
+    return (
+        rd.read_parquet(
+            events_path(sf_dir),
+            columns=["event_id", "ts", "user_id", "event_type"],
+        )
+        .map_batches(strip_schema_metadata, batch_format="pyarrow")
+        .map_batches(keep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
 QUERIES = {
     "windowed_events": q_windowed_events,
     "user_sessions": q_user_sessions,
     "asof_join": q_asof_join,
+    "range_join": q_range_join,
 }
 
 ORACLE_SQL = {
@@ -213,6 +291,16 @@ ranked AS (
 SELECT event_id, user_id, ts, value, click_event_id, click_ts,
        date_diff('microsecond', click_ts, ts)::BIGINT AS lag_us
 FROM ranked WHERE rn = 1""",
+    "range_join": f"""
+WITH e AS (SELECT * FROM events WHERE event_type = '{RANGE_LEFT}'),
+p AS (SELECT * FROM events WHERE event_type = '{RANGE_RIGHT}')
+SELECT e.event_id AS error_event_id, e.user_id, e.ts AS error_ts,
+       p.event_id AS purchase_event_id, p.ts AS purchase_ts,
+       date_diff('microsecond', e.ts, p.ts)::BIGINT AS lag_us
+FROM e JOIN p
+  ON p.user_id = e.user_id
+ AND date_diff('microsecond', e.ts, p.ts) > 0
+ AND date_diff('microsecond', e.ts, p.ts) <= {RANGE_WINDOW_US}""",
     "windowed_events": """
 SELECT date_trunc('hour', ts) AS window_start,
        event_type,

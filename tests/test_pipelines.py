@@ -569,3 +569,62 @@ def test_asof_join_sorted_merge_and_ties(ray_session, tmp_path):
     )
     for c in out.columns:
         assert (out[c].to_numpy() == gold[c].to_numpy()).all(), c
+
+
+def test_range_join_window_pairs(ray_session, tmp_path):
+    """Crafted events: fan-out inside the window, exclusive lower / inclusive
+    upper bounds, cross-user isolation; parity with the SQL oracle."""
+    import duckdb
+
+    from pears_lite_ray.pipelines.events import (
+        ORACLE_SQL,
+        RANGE_WINDOW_US,
+        q_range_join,
+    )
+
+    w = RANGE_WINDOW_US
+    rows = [
+        (0, 0, 1, "error", 0.0),
+        (1, 0, 1, "purchase", 1.0),        # same ts -> excluded (strict >)
+        (2, 10, 1, "purchase", 1.0),       # in window
+        (3, w, 1, "purchase", 1.0),        # boundary -> included (<=)
+        (4, w + 1, 1, "purchase", 1.0),    # just outside
+        (5, 5, 2, "purchase", 1.0),        # other user -> isolated
+        (6, 2 * w, 1, "error", 0.0),       # second error, no purchases after
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+            }
+        ),
+        os.path.join(str(tmp_path), "events.parquet"),
+    )
+    out = (
+        _tbl(q_range_join(str(tmp_path)))
+        .to_pandas()
+        .sort_values(["error_event_id", "purchase_event_id"])
+        .reset_index(drop=True)
+    )
+    assert out["purchase_event_id"].tolist() == [2, 3]
+    assert out["lag_us"].tolist() == [10, w]
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{os.path.join(str(tmp_path), 'events.parquet')}'"
+    )
+    gold = (
+        con.sql(ORACLE_SQL["range_join"])
+        .df()
+        .sort_values(["error_event_id", "purchase_event_id"])
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        assert (out[c].to_numpy() == gold[c].to_numpy()).all(), c
