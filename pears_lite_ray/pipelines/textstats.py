@@ -554,6 +554,80 @@ def q_pii_scrub(sf_dir: str):
     )
 
 
+def q_source_stats(sf_dir: str):
+    """Corpus-composition report per (source, lang) — the Dolma/RedPajama
+    datasheet numbers: doc count, char and token volume, mean doc length,
+    distinct-text count and the implied duplicate fraction.
+
+    Combiner shape (same as windowed_events' distinct users): the per-batch
+    partial collapses to one row per (source, lang, md5(text)) carrying
+    counts and sums, so the ``groupby(source, lang)`` shuffle moves
+    pre-aggregated rows bounded by distinct texts — never raw documents —
+    and exact distinct counting survives. SQL-oracle-checked."""
+    from .common import md5_hex
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, counts = tokens_per_row(batch)
+        texts = batch["text"].to_pylist()
+        src = batch["source"].to_pylist()
+        lang = batch["lang"].to_pylist()
+        nch = batch["n_chars"].to_numpy()
+        agg: dict[tuple, list] = {}
+        for i, t in enumerate(texts):
+            key = (src[i], lang[i], md5_hex(t))
+            a = agg.get(key)
+            if a is None:
+                agg[key] = [1, int(nch[i]), int(counts[i])]
+            else:
+                a[0] += 1
+                a[1] += int(nch[i])
+                a[2] += int(counts[i])
+        keys = sorted(agg)
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in keys], pa.string()),
+                "lang": pa.array([k[1] for k in keys], pa.string()),
+                "md5": pa.array([k[2] for k in keys], pa.string()),
+                "n": pa.array([agg[k][0] for k in keys], pa.int64()),
+                "chars": pa.array([agg[k][1] for k in keys], pa.int64()),
+                "toks": pa.array([agg[k][2] for k in keys], pa.int64()),
+            }
+        )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        n = group["n"].to_numpy()
+        n_docs = int(n.sum())
+        uniq = len(set(group["md5"].to_pylist()))
+        total_toks = int(group["toks"].to_numpy().sum())
+        return pa.table(
+            {
+                "source": pa.array([group["source"][0].as_py()], pa.string()),
+                "lang": pa.array([group["lang"][0].as_py()], pa.string()),
+                "n_docs": pa.array([n_docs], pa.int64()),
+                "n_unique_texts": pa.array([uniq], pa.int64()),
+                "total_chars": pa.array(
+                    [int(group["chars"].to_numpy().sum())], pa.int64()
+                ),
+                "total_tokens": pa.array([total_toks], pa.int64()),
+                "mean_doc_tokens": pa.array(
+                    round6(np.array([total_toks / n_docs])), pa.float64()
+                ),
+                "dup_fraction": pa.array(
+                    round6(np.array([1.0 - uniq / n_docs])), pa.float64()
+                ),
+            }
+        )
+
+    return (
+        read_documents(
+            sf_dir, columns=["doc_id", "text", "lang", "source", "n_chars"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .map_groups(finalize, batch_format="pyarrow")
+    )
+
+
 QUERIES = {
     "quality": q_quality,
     "token_count": q_token_count,
@@ -566,6 +640,7 @@ QUERIES = {
     "top_ngrams": q_top_ngrams,
     "pack_sequences": q_pack_sequences,
     "pii_scrub": q_pii_scrub,
+    "source_stats": q_source_stats,
 }
 
 def _sql_marker_list(lang: str) -> str:
@@ -733,7 +808,22 @@ SELECT doc_id, t3 AS clean_text,
        n_phones::BIGINT AS n_phones
 FROM s3"""
 
+_SQL_SOURCE_STATS = f"""
+WITH toks AS (
+  SELECT source, lang, n_chars, md5(text) AS m,
+         len({SQL_TOKENS}) AS nt
+  FROM documents)
+SELECT source, lang,
+       count(*) AS n_docs,
+       count(DISTINCT m) AS n_unique_texts,
+       sum(n_chars)::BIGINT AS total_chars,
+       sum(nt)::BIGINT AS total_tokens,
+       round(sum(nt)::DOUBLE / count(*), 6) AS mean_doc_tokens,
+       round(1.0 - count(DISTINCT m)::DOUBLE / count(*), 6) AS dup_fraction
+FROM toks GROUP BY source, lang"""
+
 ORACLE_SQL = {
+    "source_stats": _SQL_SOURCE_STATS,
     "pii_scrub": _SQL_PII,
     "decontaminate": _SQL_DECONTAMINATE,
     "top_ngrams": _SQL_TOP_NGRAMS,

@@ -628,3 +628,51 @@ def test_range_join_window_pairs(ray_session, tmp_path):
     )
     for c in out.columns:
         assert (out[c].to_numpy() == gold[c].to_numpy()).all(), c
+
+
+def test_source_stats_composition_report(ray_session, tmp_path):
+    """Planted two-source corpus with a duplicated text: exact distinct
+    counting through the partial-collapse shuffle, plus SQL-oracle parity."""
+    import duckdb
+
+    from pears_lite_ray.pipelines.textstats import ORACLE_SQL, q_source_stats
+
+    texts = ["alpha bravo charlie", "alpha bravo charlie",
+             "delta echo", "foxtrot golf hotel india"]
+    srcs = ["web", "web", "web", "books"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 4, pa.string()),
+                "source": pa.array(srcs, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(str(tmp_path), "documents.parquet"),
+    )
+    out = (
+        _tbl(q_source_stats(str(tmp_path)))
+        .to_pandas()
+        .sort_values(["source", "lang"])
+        .reset_index(drop=True)
+    )
+    web = out[out.source == "web"].iloc[0]
+    assert web["n_docs"] == 3 and web["n_unique_texts"] == 2
+    assert abs(web["dup_fraction"] - (1 - 2 / 3)) < 1e-6
+    assert out[out.source == "books"].iloc[0]["dup_fraction"] == 0.0
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(str(tmp_path), 'documents.parquet')}'"
+    )
+    gold = (
+        con.sql(ORACLE_SQL["source_stats"])
+        .df()
+        .sort_values(["source", "lang"])
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        assert (out[c].to_numpy() == gold[c].to_numpy()).all(), c
