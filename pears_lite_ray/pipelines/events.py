@@ -264,11 +264,74 @@ def q_range_join(sf_dir: str):
     )
 
 
+QUANTILES = (0.5, 0.9, 0.99)
+
+
+def q_value_quantiles(sf_dir: str):
+    """EXACT distributed quantiles (p50/p90/p99) of ``value`` per
+    event_type — the sketch-free variant that works whenever the value
+    domain has bounded cardinality (here: 2-decimal currency-like values,
+    <=50k distinct). Per-batch partials collapse to (event_type, value,
+    count); the groupby(event_type) group holds one row per DISTINCT value
+    — never raw events — and a vectorized cumsum picks the discrete
+    quantile (smallest v with 1-based rank >= ceil(q*n), DuckDB
+    quantile_disc semantics, replicated in the oracle via a window cumsum
+    so the tie/interp rule is pinned). For unbounded domains this operator
+    would need a t-digest/KLL sketch; the bounded-domain contract is
+    asserted here by construction of the input."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        types = batch["event_type"].to_pylist()
+        val = batch["value"].to_numpy()
+        agg: dict[tuple, int] = {}
+        for t, v in zip(types, val):
+            key = (t, float(v))
+            agg[key] = agg.get(key, 0) + 1
+        keys = sorted(agg)
+        return pa.table(
+            {
+                "event_type": pa.array([k[0] for k in keys], pa.string()),
+                "value": pa.array([k[1] for k in keys], pa.float64()),
+                "c": pa.array([agg[k] for k in keys], pa.int64()),
+            }
+        )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        v = group["value"].to_numpy()
+        c = group["c"].to_numpy()
+        order = np.argsort(v)
+        v, c = v[order], c[order]
+        # collapse duplicate values arriving from different partials
+        first = np.r_[True, v[1:] != v[:-1]]
+        vu = v[first]
+        cu = np.add.reduceat(c, np.nonzero(first)[0])
+        cum = np.cumsum(cu)
+        n = int(cum[-1])
+        out = {
+            "event_type": pa.array([group["event_type"][0].as_py()],
+                                   pa.string()),
+            "n_events": pa.array([n], pa.int64()),
+        }
+        for q in QUANTILES:
+            rank = np.ceil(q * n)
+            idx = int(np.searchsorted(cum, rank))
+            out[f"p{int(q * 100)}"] = pa.array([float(vu[idx])], pa.float64())
+        return pa.table(out)
+
+    return (
+        rd.read_parquet(events_path(sf_dir), columns=["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(finalize, batch_format="pyarrow")
+    )
+
+
 QUERIES = {
     "windowed_events": q_windowed_events,
     "user_sessions": q_user_sessions,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
+    "value_quantiles": q_value_quantiles,
 }
 
 ORACLE_SQL = {
@@ -291,6 +354,21 @@ ranked AS (
 SELECT event_id, user_id, ts, value, click_event_id, click_ts,
        date_diff('microsecond', click_ts, ts)::BIGINT AS lag_us
 FROM ranked WHERE rn = 1""",
+    "value_quantiles": """
+WITH vc AS (
+  SELECT event_type, value, count(*) AS c FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, value,
+         sum(c) OVER (PARTITION BY event_type ORDER BY value) AS cr,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM vc
+)
+SELECT event_type, max(n)::BIGINT AS n_events,
+       min(CASE WHEN cr >= ceil(0.5  * n) THEN value END) AS p50,
+       min(CASE WHEN cr >= ceil(0.9  * n) THEN value END) AS p90,
+       min(CASE WHEN cr >= ceil(0.99 * n) THEN value END) AS p99
+FROM cum GROUP BY event_type""",
     "range_join": f"""
 WITH e AS (SELECT * FROM events WHERE event_type = '{RANGE_LEFT}'),
 p AS (SELECT * FROM events WHERE event_type = '{RANGE_RIGHT}')

@@ -676,3 +676,34 @@ def test_source_stats_composition_report(ray_session, tmp_path):
     )
     for c in out.columns:
         assert (out[c].to_numpy() == gold[c].to_numpy()).all(), c
+
+
+def test_value_quantiles_exact(ray_session, tmp_path):
+    """Crafted counts: quantile = smallest value with rank >= ceil(q*n),
+    verified against both a hand computation and the SQL oracle."""
+    import duckdb
+
+    from pears_lite_ray.pipelines.events import ORACLE_SQL, q_value_quantiles
+
+    # type 'a': values 1..10 once each -> p50=5, p90=9, p99=10
+    vals = [float(v) for v in range(1, 11)]
+    pq.write_table(
+        pa.table(
+            {
+                "event_type": pa.array(["a"] * 10, pa.string()),
+                "value": pa.array(vals, pa.float64()),
+            }
+        ),
+        os.path.join(str(tmp_path), "events.parquet"),
+    )
+    out = _tbl(q_value_quantiles(str(tmp_path))).to_pandas()
+    assert out.iloc[0][["p50", "p90", "p99"]].tolist() == [5.0, 9.0, 10.0]
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{os.path.join(str(tmp_path), 'events.parquet')}'"
+    )
+    gold = con.sql(ORACLE_SQL["value_quantiles"]).df()
+    for c in out.columns:
+        assert (out[c].to_numpy() == gold[c].to_numpy()).all(), c
