@@ -628,6 +628,87 @@ def q_source_stats(sf_dir: str):
     )
 
 
+def q_unigram_logprob(sf_dir: str):
+    """CCNet/KenLM-style LM quality proxy: per-doc cross-entropy (mean
+    negative log2 probability of its tokens) under the corpus's OWN
+    unigram language model. Low scores = high-probability boilerplate,
+    high scores = rare-token noise — the two tails a perplexity filter
+    trims (Wenzek et al. 2020 use an external KenLM; the self-trained
+    unigram model is the external-data-free analog).
+
+    Scale shape: pass 1 emits one row per distinct in-batch token (the
+    batch combiner bounds the shuffle by batch vocabulary, not token
+    occurrences) into a data-sized ``groupby(token)`` sum; the resulting
+    corpus vocabulary is Heaps'-law-sublinear — the one table small enough
+    to pull and broadcast once per scoring actor (same contract as
+    ``decontaminate``'s benchmark set). Pass 2 streams the corpus once,
+    scoring each batch against the broadcast log-prob table. The corpus
+    text itself never shuffles. SQL-oracle-checked."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .common import shuffle_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks, _ = tokens_per_row(batch)
+        counts: dict[str, int] = {}
+        for words in toks:
+            for w in words:
+                counts[w] = counts.get(w, 0) + 1
+        ws = sorted(counts)
+        return pa.table(
+            {
+                "w": pa.array(ws, pa.string()),
+                "c_p": pa.array([counts[w] for w in ws], pa.int64()),
+            }
+        )
+
+    vocab_rows = (
+        read_documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("w", num_partitions=shuffle_partitions(sf_dir))
+        .aggregate(Sum("c_p", alias_name="cnt"))
+        .take_all()
+    )
+    total = float(sum(r["cnt"] for r in vocab_rows))
+    # -log2(cf/total) per token, computed exactly as the SQL replica does
+    neglogp = {
+        r["w"]: float(-np.log2(r["cnt"] / total)) for r in vocab_rows
+    }
+    ref = ray.put(neglogp)
+
+    class ScoreStage:
+        def __init__(self, table_ref):
+            self.neglogp = ray.get(table_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            toks, counts = tokens_per_row(batch)
+            lp = self.neglogp
+            means = np.zeros(len(toks), dtype=np.float64)
+            for i, words in enumerate(toks):
+                if words:
+                    s = np.fromiter(
+                        (lp[w] for w in words), dtype=np.float64,
+                        count=len(words),
+                    )
+                    means[i] = s.sum() / len(words)
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "n_tokens": pa.array(counts, pa.int64()),
+                    "mean_neglogp": pa.array(round6(means), pa.float64()),
+                }
+            )
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        ScoreStage,
+        fn_constructor_kwargs={"table_ref": ref},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+
 QUERIES = {
     "quality": q_quality,
     "token_count": q_token_count,
@@ -641,6 +722,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "pii_scrub": q_pii_scrub,
     "source_stats": q_source_stats,
+    "unigram_logprob": q_unigram_logprob,
 }
 
 def _sql_marker_list(lang: str) -> str:
@@ -822,8 +904,28 @@ SELECT source, lang,
        round(1.0 - count(DISTINCT m)::DOUBLE / count(*), 6) AS dup_fraction
 FROM toks GROUP BY source, lang"""
 
+_SQL_UNIGRAM = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({SQL_TOKENS}) AS w FROM documents
+),
+cf AS (SELECT w, count(*)::BIGINT AS c FROM tok GROUP BY w),
+tot AS (SELECT sum(c)::DOUBLE AS t FROM cf),
+per_doc AS (
+  SELECT tok.doc_id,
+         count(*)::BIGINT AS n_tokens,
+         sum(-log2(cf.c / tot.t)) AS s
+  FROM tok JOIN cf USING (w) CROSS JOIN tot
+  GROUP BY tok.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+       round(coalesce(p.s / p.n_tokens, 0.0), 6) AS mean_neglogp
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id"""
+
+
 ORACLE_SQL = {
     "source_stats": _SQL_SOURCE_STATS,
+    "unigram_logprob": _SQL_UNIGRAM,
     "pii_scrub": _SQL_PII,
     "decontaminate": _SQL_DECONTAMINATE,
     "top_ngrams": _SQL_TOP_NGRAMS,

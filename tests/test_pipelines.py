@@ -707,3 +707,53 @@ def test_value_quantiles_exact(ray_session, tmp_path):
     gold = con.sql(ORACLE_SQL["value_quantiles"]).df()
     for c in out.columns:
         assert (out[c].to_numpy() == gold[c].to_numpy()).all(), c
+
+
+def test_unigram_logprob_self_lm(ray_session, tmp_path):
+    """Hand-computed corpus unigram cross-entropy + SQL-oracle parity,
+    including the empty-document (0 tokens -> 0.0 score) edge."""
+    import math
+
+    import duckdb
+
+    from pears_lite_ray.pipelines.textstats import (
+        ORACLE_SQL,
+        q_unigram_logprob,
+    )
+
+    texts = ["aa aa bb", "aa cc", ""]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(3), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        os.path.join(str(tmp_path), "documents.parquet"),
+    )
+    out = (
+        _tbl(q_unigram_logprob(str(tmp_path)))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # corpus counts: aa=3 bb=1 cc=1, total 5
+    lp_aa, lp_rare = -math.log2(3 / 5), -math.log2(1 / 5)
+    assert out["n_tokens"].tolist() == [3, 2, 0]
+    assert abs(out["mean_neglogp"][0] - (2 * lp_aa + lp_rare) / 3) < 1e-6
+    assert abs(out["mean_neglogp"][1] - (lp_aa + lp_rare) / 2) < 1e-6
+    assert out["mean_neglogp"][2] == 0.0
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(str(tmp_path), 'documents.parquet')}'"
+    )
+    gold = (
+        con.sql(ORACLE_SQL["unigram_logprob"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        assert (out[c].to_numpy() == gold[c].to_numpy()).all(), c
