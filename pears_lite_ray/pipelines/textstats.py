@@ -709,6 +709,108 @@ def q_unigram_logprob(sf_dir: str):
     )
 
 
+PMI_MIN_COUNT = 3   # bigram support floor (classic collocation practice)
+PMI_TOP_K = 50
+
+
+def q_bigram_pmi(sf_dir: str):
+    """Collocation extraction: top-``PMI_TOP_K`` word bigrams by pointwise
+    mutual information, ``pmi = log2(p(w1,w2) / (p(w1)p(w2)))``, with a
+    ``PMI_MIN_COUNT`` support floor (Church & Hanks 1990 — the standard
+    phrase-mining / tokenizer-merge-candidate pass).
+
+    Scale shape: one corpus pass emits batch-combined unigram AND bigram
+    partial counts into a single data-sized groupby-sum (bigrams keyed by
+    (w1, w2); unigrams ride along with ``w2 = ''`` — impossible for real
+    tokens). Only the unigram margin (Heaps'-law vocabulary, plus one
+    total-bigrams counter row) is pulled and broadcast; the much larger
+    bigram table stays distributed through scoring, and only the sorted
+    top-k leaves. SQL-oracle-checked (zipped-slice unnest replica)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .common import shuffle_partitions
+
+    TOTAL_KEY = "\x01total_bigrams"  # non-token key for the tb counter
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks, _ = tokens_per_row(batch)
+        uni: dict[str, int] = {}
+        bi: dict[tuple, int] = {}
+        n_bi = 0
+        for words in toks:
+            for w in words:
+                uni[w] = uni.get(w, 0) + 1
+            for i in range(len(words) - 1):
+                k = (words[i], words[i + 1])
+                bi[k] = bi.get(k, 0) + 1
+            n_bi += max(len(words) - 1, 0)
+        w1 = [k[0] for k in bi] + list(uni) + [TOTAL_KEY]
+        w2 = [k[1] for k in bi] + [""] * (len(uni) + 1)
+        c = list(bi.values()) + list(uni.values()) + [n_bi]
+        return pa.table(
+            {
+                "w1": pa.array(w1, pa.string()),
+                "w2": pa.array(w2, pa.string()),
+                "c_p": pa.array(c, pa.int64()),
+            }
+        )
+
+    counts = (
+        read_documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"], num_partitions=shuffle_partitions(sf_dir))
+        .aggregate(Sum("c_p", alias_name="cnt"))
+        # consumed twice (margin pull + scoring): pin the distributed
+        # count blocks in the object store instead of re-running the pass
+        .materialize()
+    )
+
+    margin_rows = counts.filter(expr="w2 == ''").take_all()
+    tb = float(next(r["cnt"] for r in margin_rows if r["w1"] == TOTAL_KEY))
+    uni_counts = {
+        r["w1"]: int(r["cnt"]) for r in margin_rows if r["w1"] != TOTAL_KEY
+    }
+    tu = float(sum(uni_counts.values()))
+    ref = ray.put(uni_counts)
+
+    class PmiStage:
+        def __init__(self, uni_ref, tu: float, tb: float):
+            self.uni = ray.get(uni_ref)
+            self.tu, self.tb = tu, tb
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            w1 = batch["w1"].to_pylist()
+            w2 = batch["w2"].to_pylist()
+            c12 = batch["cnt"].to_numpy().astype(np.float64)
+            c1 = np.fromiter((self.uni[w] for w in w1), np.float64, len(w1))
+            c2 = np.fromiter((self.uni[w] for w in w2), np.float64, len(w2))
+            pmi = np.log2(
+                (c12 / self.tb) / ((c1 / self.tu) * (c2 / self.tu))
+            )
+            return pa.table(
+                {
+                    "w1": batch["w1"],
+                    "w2": batch["w2"],
+                    "cnt": batch["cnt"],
+                    "pmi": pa.array(round6(pmi), pa.float64()),
+                }
+            )
+
+    return (
+        counts.filter(expr=f"w2 != '' and cnt >= {PMI_MIN_COUNT}")
+        .map_batches(
+            PmiStage,
+            fn_constructor_kwargs={"uni_ref": ref, "tu": tu, "tb": tb},
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+            num_cpus=1,
+        )
+        .sort(["pmi", "w1", "w2"], descending=[True, False, False])
+        .limit(PMI_TOP_K)
+    )
+
+
 QUERIES = {
     "quality": q_quality,
     "token_count": q_token_count,
@@ -723,6 +825,7 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "source_stats": q_source_stats,
     "unigram_logprob": q_unigram_logprob,
+    "bigram_pmi": q_bigram_pmi,
 }
 
 def _sql_marker_list(lang: str) -> str:
@@ -923,9 +1026,31 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id"""
 
 
+_SQL_PMI = f"""
+WITH tok AS (SELECT {SQL_TOKENS} AS t FROM documents),
+uni AS (SELECT unnest(t) AS w FROM tok),
+ucnt AS (SELECT w, count(*)::BIGINT AS c FROM uni GROUP BY w),
+utot AS (SELECT sum(c)::DOUBLE AS tu FROM ucnt),
+bi AS (
+  SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+  FROM tok WHERE len(t) >= 2
+),
+bcnt AS (SELECT w1, w2, count(*)::BIGINT AS cnt FROM bi GROUP BY w1, w2),
+btot AS (SELECT sum(cnt)::DOUBLE AS tb FROM bcnt)
+SELECT w1, w2, cnt,
+       round(log2((cnt / tb) / ((u1.c / tu) * (u2.c / tu))), 6) AS pmi
+FROM bcnt, btot, utot
+JOIN ucnt u1 ON u1.w = w1
+JOIN ucnt u2 ON u2.w = w2
+WHERE cnt >= {PMI_MIN_COUNT}
+ORDER BY pmi DESC, w1, w2
+LIMIT {PMI_TOP_K}"""
+
+
 ORACLE_SQL = {
     "source_stats": _SQL_SOURCE_STATS,
     "unigram_logprob": _SQL_UNIGRAM,
+    "bigram_pmi": _SQL_PMI,
     "pii_scrub": _SQL_PII,
     "decontaminate": _SQL_DECONTAMINATE,
     "top_ngrams": _SQL_TOP_NGRAMS,

@@ -757,3 +757,36 @@ def test_unigram_logprob_self_lm(ray_session, tmp_path):
     )
     for c in out.columns:
         assert (out[c].to_numpy() == gold[c].to_numpy()).all(), c
+
+
+def test_bigram_pmi_collocations(ray_session, tmp_path):
+    """Hand-computed PMI on a planted collocation + SQL-oracle parity.
+    Corpus: 'aa bb' x3 docs, 'aa cc'/'aa dd'/'aa ee' x1 -> only (aa,bb)
+    clears the support floor; pmi = log2((3/6)/((6/12)*(3/12))) = 2.0."""
+    import duckdb
+
+    from pears_lite_ray.pipelines.textstats import ORACLE_SQL, q_bigram_pmi
+
+    texts = ["aa bb", "aa bb", "aa bb", "aa cc", "aa dd", "aa ee"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        os.path.join(str(tmp_path), "documents.parquet"),
+    )
+    out = _tbl(q_bigram_pmi(str(tmp_path))).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0][["w1", "w2", "cnt"]].tolist() == ["aa", "bb", 3]
+    assert out.iloc[0]["pmi"] == 2.0
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(str(tmp_path), 'documents.parquet')}'"
+    )
+    gold = con.sql(ORACLE_SQL["bigram_pmi"]).df()
+    for c in out.columns:
+        assert (out[c].to_numpy() == gold[c].to_numpy()).all(), c
