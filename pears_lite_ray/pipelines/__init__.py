@@ -6,9 +6,9 @@ the semantics are ANSI-SQL-expressible (column names match exactly — the
 driver hashes values after sorting columns by name).
 """
 
-from . import dedup, events, extras, fulltext, similarity, textstats
+from . import dedup, events, extras, fulltext, similarity, sketches, textstats
 
-_MODULES = (fulltext, dedup, similarity, textstats, events, extras)
+_MODULES = (fulltext, dedup, similarity, textstats, events, extras, sketches)
 
 
 def all_queries():

@@ -1,0 +1,441 @@
+"""Sketching / corpus-weighting operators for the training-data set.
+
+* hll_distinct   — HyperLogLog distinct-token estimate per source
+                   (Flajolet et al. 2007): the canonical MERGEABLE sketch —
+                   per-batch register partials (max rank per register),
+                   elementwise-max merge in a tiny ``groupby(source)``.
+                   The estimator is evaluated with exact-integer register
+                   sums so the oracle SQL reproduces it bit-for-bit
+                   (DuckDB ``ln`` == libm ``log`` on this host, verified).
+* dsir_weights   — DSIR-style importance weights (Xie et al. 2023):
+                   hashed-unigram bucket counts for the raw corpus vs a
+                   target slice (lang='en') in ONE corpus pass, smoothed
+                   log-ratio per bucket quantized to integer micro-units
+                   (order-free exact sums), broadcast via ``ray.put``,
+                   then a second vectorized pass scores every document.
+* tfidf_keywords — per-doc top-3 TF-IDF keyword extraction. Fully
+                   distributed: tf rows from a batch combiner, df from a
+                   ``groupby(term)`` over the SAME tf rows (no second
+                   corpus read), an equi-join on term (no driver-side
+                   vocabulary broadcast — raw-token vocabularies at
+                   100 TB exceed broadcast budgets), and a per-doc top-k
+                   ``map_groups``.
+
+The reference has no sketching layer (its "stats" are exact SQLite
+counts, app/api/models.py); these are the scale-path analogs a 100 TB
+corpus needs. All three are SQL-oracle-checked.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+from .common import (
+    SQL_TOKENS,
+    read_documents,
+    round6,
+    shuffle_partitions,
+    sql_fnv1a,
+    tokens_per_row,
+    word_hash_stream,
+)
+
+# ---------------------------------------------------------------- HLL ----
+
+HLL_P = 8                      # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+_MASK56 = np.uint64((1 << 56) - 1)
+_POW2 = (np.uint64(1) << np.arange(57, dtype=np.uint64)).astype(np.uint64)
+
+# FNV-1a of short similar strings leaves the TOP bits heavily biased
+# (measured: 3000 distinct words land in 35 of 256 registers); HLL needs
+# avalanche in both the register index and the rank bits, so finalize with
+# splitmix64's mixer (Steele et al. 2014) — replicated in SQL via UHUGEINT
+# modular multiplies.
+_MIX_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX_C2 = np.uint64(0x94D049BB133111EB)
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    h = h.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        h ^= h >> np.uint64(30)
+        h *= _MIX_C1
+        h ^= h >> np.uint64(27)
+        h *= _MIX_C2
+        h ^= h >> np.uint64(31)
+    return h
+
+
+def _sql_mix64(expr: str) -> str:
+    m = "18446744073709551616::UHUGEINT"
+    x1 = f"xor({expr}, ({expr}) >> 30)"
+    x2 = f"((({x1})::UHUGEINT * {int(_MIX_C1)}::UHUGEINT) % {m})::UBIGINT"
+    x3 = f"xor({x2}, ({x2}) >> 27)"
+    x4 = f"((({x3})::UHUGEINT * {int(_MIX_C2)}::UHUGEINT) % {m})::UBIGINT"
+    return f"xor({x4}, ({x4}) >> 31)"
+
+
+def _hll_ranks(hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rank) per 64-bit hash: top 8 bits pick the
+    register, rank = leading zeros of the remaining 56 bits + 1 (57 when
+    they are all zero). Exact-integer bit-length via searchsorted over
+    powers of two — no float log2 edge cases."""
+    hashes = _mix64(hashes)
+    j = (hashes >> np.uint64(56)).astype(np.int64)
+    w = hashes & _MASK56
+    bitlen = np.searchsorted(_POW2, w, side="right")
+    return j, (57 - bitlen).astype(np.int64)
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    """Raw estimator + linear-counting small-range correction, with the
+    harmonic sum kept as an exact integer (sum of powers of two) so the
+    SQL replica matches bit-for-bit."""
+    v = int((regs == 0).sum())
+    s_int = sum(1 << (57 - int(r)) for r in regs)  # r=0 contributes 2^57
+    raw = 0.7213 / (1 + 1.079 / HLL_M) * (HLL_M * HLL_M) * 2.0**57 / float(s_int)
+    if raw <= 2.5 * HLL_M and v > 0:
+        return HLL_M * math.log(HLL_M / v)
+    return raw
+
+
+def q_hll_distinct(sf_dir: str):
+    """Distinct-token count per source via HyperLogLog registers.
+
+    Scale shape: each batch contributes at most 256 (source, register,
+    rank) rows regardless of batch size — the shuffle moves O(sources ×
+    256) rows total, never tokens. ``ranksum``/``n_registers_set`` are
+    integer register checksums so the oracle verifies the sketch state
+    itself, not only the estimate."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks, _ = tokens_per_row(batch)
+        rows, hashes = word_hash_stream(toks)
+        src = batch["source"].to_pylist()
+        j, rank = _hll_ranks(hashes)
+        per_src: dict[str, np.ndarray] = {}
+        src_of_row = np.array([src[r] for r in rows]) if rows.size else np.array([])
+        for s in set(src):
+            regs = per_src.setdefault(s, np.zeros(HLL_M, dtype=np.int64))
+            sel = src_of_row == s
+            if sel.any():
+                np.maximum.at(regs, j[sel], rank[sel])
+        out_s, out_j, out_r = [], [], []
+        for s, regs in sorted(per_src.items()):
+            nz = np.nonzero(regs)[0]
+            out_s.extend([s] * nz.size)
+            out_j.extend(nz.tolist())
+            out_r.extend(regs[nz].tolist())
+        return pa.table(
+            {
+                "source": pa.array(out_s, pa.string()),
+                "j": pa.array(out_j, pa.int64()),
+                "r": pa.array(out_r, pa.int64()),
+            }
+        )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        regs = np.zeros(HLL_M, dtype=np.int64)
+        np.maximum.at(regs, group["j"].to_numpy(), group["r"].to_numpy())
+        est = _hll_estimate(regs)
+        return pa.table(
+            {
+                "source": pa.array([group["source"][0].as_py()], pa.string()),
+                "n_registers_set": pa.array([int((regs > 0).sum())], pa.int64()),
+                "ranksum": pa.array([int(regs.sum())], pa.int64()),
+                "hll_distinct": pa.array(round6(np.array([est])), pa.float64()),
+            }
+        )
+
+    return (
+        read_documents(sf_dir, columns=["text", "source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(finalize, batch_format="pyarrow")
+    )
+
+
+# --------------------------------------------------------------- DSIR ----
+
+DSIR_BUCKETS = 1024
+DSIR_TARGET_LANG = "en"
+
+
+def _dsir_lambda_micro(n_raw: np.ndarray, n_tgt: np.ndarray) -> np.ndarray:
+    """Per-bucket importance log-ratio ln(p_target/p_raw) with add-one
+    smoothing, quantized to integer micro-nats (round half away from zero,
+    = DuckDB round(x*1e6, 0)) so per-doc sums are order-free exact."""
+    r_tot = int(n_raw.sum())
+    t_tot = int(n_tgt.sum())
+    lam = np.array(
+        [
+            math.log(
+                ((int(t) + 1) / (t_tot + DSIR_BUCKETS))
+                / ((int(r) + 1) / (r_tot + DSIR_BUCKETS))
+            )
+            for r, t in zip(n_raw, n_tgt)
+        ]
+    )
+    return np.rint(round6(lam) * 1e6).astype(np.int64)
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR hashed-unigram importance weight per document, target domain =
+    ``lang='en'`` documents of the same corpus.
+
+    Pass 1 is one corpus read emitting ≤1024 (bucket, n_raw, n_tgt) rows
+    per batch (the combiner bounds the shuffle by bucket count, not
+    tokens); the reduced 1024-row table is pulled to the driver — bounded
+    by construction — converted to integer micro-nat log-ratios and
+    broadcast with ``ray.put``. Pass 2 re-reads the corpus and scores each
+    document with an exact integer sum over its token buckets."""
+    import ray
+
+    bucket_rows = (
+        read_documents(sf_dir, columns=["text", "lang"])
+        .map_batches(_dsir_partial, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_dsir_reduce, batch_format="pyarrow")
+        .take_all()
+    )  # ≤ DSIR_BUCKETS rows by construction — bounded driver pull
+    n_raw = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+    n_tgt = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+    for row in bucket_rows:
+        n_raw[row["b"]] = row["n_raw"]
+        n_tgt[row["b"]] = row["n_tgt"]
+    lam_ref = ray.put(_dsir_lambda_micro(n_raw, n_tgt))
+
+    class Score:
+        def __init__(self):
+            self.lam = ray.get(lam_ref)  # once per actor/task slot
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            toks, counts = tokens_per_row(batch)
+            rows, hashes = word_hash_stream(toks)
+            b = (hashes % np.uint64(DSIR_BUCKETS)).astype(np.int64)
+            w = np.zeros(len(toks), dtype=np.int64)
+            np.add.at(w, rows, self.lam[b])
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "n_tokens": pa.array(counts, pa.int64()),
+                    "dsir_logw_u": pa.array(w, pa.int64()),
+                    "dsir_logw": pa.array(
+                        round6(w.astype(np.float64) / 1e6), pa.float64()
+                    ),
+                }
+            )
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        Score(), batch_format="pyarrow"
+    )
+
+
+def _dsir_partial(batch: pa.Table) -> pa.Table:
+    toks, _ = tokens_per_row(batch)
+    rows, hashes = word_hash_stream(toks)
+    b = (hashes % np.uint64(DSIR_BUCKETS)).astype(np.int64)
+    lang = batch["lang"].to_pylist()
+    is_tgt = np.array([lang[r] == DSIR_TARGET_LANG for r in rows], dtype=bool) \
+        if rows.size else np.zeros(0, dtype=bool)
+    n_raw = np.bincount(b, minlength=DSIR_BUCKETS)
+    n_tgt = np.bincount(b[is_tgt], minlength=DSIR_BUCKETS)
+    nz = np.nonzero(n_raw)[0]
+    return pa.table(
+        {
+            "b": pa.array(nz, pa.int64()),
+            "n_raw": pa.array(n_raw[nz], pa.int64()),
+            "n_tgt": pa.array(n_tgt[nz], pa.int64()),
+        }
+    )
+
+
+def _dsir_reduce(group: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "b": pa.array([group["b"][0].as_py()], pa.int64()),
+            "n_raw": pa.array([int(group["n_raw"].to_numpy().sum())], pa.int64()),
+            "n_tgt": pa.array([int(group["n_tgt"].to_numpy().sum())], pa.int64()),
+        }
+    )
+
+
+# ------------------------------------------------------------- TF-IDF ----
+
+TFIDF_TOPK = 3
+
+
+def q_tfidf_keywords(sf_dir: str):
+    """Top-3 TF-IDF keywords per document (sklearn-style smoothed idf =
+    ln((1+N)/(1+df)) + 1), tie-broken by term ascending on the 6dp score.
+
+    Fully distributed: the (doc, term, tf) combiner output feeds BOTH the
+    df aggregate and the score join (one corpus read, materialized once);
+    df reaches tf rows through a term equi-join, NOT a driver-side
+    vocabulary broadcast — a raw-token vocabulary at 100 TB is itself a
+    large table. Final top-k is a per-doc ``map_groups``."""
+    n_parts = shuffle_partitions(sf_dir)
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        toks, _ = tokens_per_row(batch)
+        ids = batch["doc_id"].to_numpy()
+        out_d, out_t, out_tf = [], [], []
+        for i, words in enumerate(toks):
+            if not words:
+                continue
+            uniq, cnt = np.unique(np.array(words, dtype=object), return_counts=True)
+            out_d.extend([int(ids[i])] * uniq.size)
+            out_t.extend(uniq.tolist())
+            out_tf.extend(cnt.tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "term": pa.array(out_t, pa.string()),
+                "tf": pa.array(out_tf, pa.int64()),
+            }
+        )
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    n_docs = docs.count()
+    tf = docs.map_batches(tf_rows, batch_format="pyarrow").materialize()
+
+    def df_of_term(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "term": pa.array([group["term"][0].as_py()], pa.string()),
+                "df": pa.array([group.num_rows], pa.int64()),
+            }
+        )
+
+    df = tf.groupby("term").map_groups(df_of_term, batch_format="pyarrow")
+
+    scored = tf.join(
+        df.repartition(n_parts), join_type="inner", num_partitions=n_parts,
+        on=("term",),
+    )
+
+    def topk(group: pa.Table) -> pa.Table:
+        tf_v = group["tf"].to_numpy().astype(np.float64)
+        df_v = group["df"].to_numpy().astype(np.float64)
+        idf = np.log((1.0 + n_docs) / (1.0 + df_v)) + 1.0
+        score = round6(tf_v * idf)
+        terms = np.array(group["term"].to_pylist(), dtype=object)
+        order = np.lexsort((terms, -score))[:TFIDF_TOPK]
+        return pa.table(
+            {
+                "doc_id": group["doc_id"].take(pa.array(order)),
+                "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+                "term": group["term"].take(pa.array(order)),
+                "tf": group["tf"].take(pa.array(order)),
+                "tfidf": pa.array(score[order], pa.float64()),
+            }
+        )
+
+    return scored.groupby("doc_id").map_groups(topk, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- oracles ---
+
+_HLL_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest({SQL_TOKENS}) AS tok FROM documents
+),
+h AS (SELECT DISTINCT source, tok FROM toks),
+hh AS (SELECT source, {sql_fnv1a('tok')} AS hv FROM h),
+mx AS (SELECT source, {_sql_mix64('hv')} AS mv FROM hh),
+reg AS (
+  SELECT source, (mv >> 56)::BIGINT AS j,
+         CASE WHEN (mv & 72057594037927935::UBIGINT) = 0::UBIGINT THEN 57
+              ELSE 57 - length(ltrim(bin((mv & 72057594037927935::UBIGINT)::BIGINT), '0'))
+         END AS r
+  FROM mx
+),
+regs AS (SELECT source, j, max(r) AS r FROM reg GROUP BY source, j),
+agg AS (
+  SELECT source,
+         count(*)::BIGINT AS n_set,
+         sum(r)::BIGINT AS ranksum,
+         (256 - count(*))::BIGINT AS v,
+         (sum((1::UBIGINT << (57 - r))::HUGEINT)
+          + (256 - count(*))::HUGEINT * (1::UBIGINT << 57)::HUGEINT) AS s
+  FROM regs GROUP BY source
+)
+SELECT source,
+       n_set AS n_registers_set,
+       ranksum,
+       round(CASE WHEN raw <= 640 AND v > 0
+                  THEN 256 * ln(256::DOUBLE / v)
+                  ELSE raw END, 6) AS hll_distinct
+FROM (
+  SELECT *,
+         0.7213::DOUBLE / (1 + 1.079::DOUBLE / 256) * 65536
+           * power(2::DOUBLE, 57) / s::DOUBLE AS raw
+  FROM agg
+)"""
+
+_DSIR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest({SQL_TOKENS}) AS tok FROM documents
+),
+tb AS (
+  SELECT doc_id, lang, ({sql_fnv1a('tok')} % 1024)::BIGINT AS b FROM toks
+),
+bc AS (
+  SELECT b, count(*)::BIGINT AS n_raw,
+         count(*) FILTER (lang = '{DSIR_TARGET_LANG}')::BIGINT AS n_tgt
+  FROM tb GROUP BY b
+),
+tot AS (SELECT sum(n_raw)::BIGINT AS r_tot, sum(n_tgt)::BIGINT AS t_tot FROM bc),
+lam AS (
+  SELECT b,
+         CAST(round(ln(((n_tgt + 1)::DOUBLE / (t_tot + 1024))
+                       / ((n_raw + 1)::DOUBLE / (r_tot + 1024))) * 1000000, 0)
+              AS BIGINT) AS lu
+  FROM bc, tot
+),
+docw AS (
+  SELECT tb.doc_id, count(*)::BIGINT AS n_tokens, sum(lam.lu)::BIGINT AS u
+  FROM tb JOIN lam USING (b) GROUP BY tb.doc_id
+)
+SELECT d.doc_id,
+       coalesce(w.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(w.u, 0)::BIGINT AS dsir_logw_u,
+       round(coalesce(w.u, 0)::DOUBLE / 1000000, 6) AS dsir_logw
+FROM documents d LEFT JOIN docw w ON w.doc_id = d.doc_id"""
+
+_TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * (ln((1 + n.n_docs)::DOUBLE / (1 + df.df)) + 1), 6) AS tfidf
+  FROM tf JOIN df USING (term), n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, rank::BIGINT AS rank, term, tf, tfidf
+FROM ranked WHERE rank <= {TFIDF_TOPK}"""
+
+
+QUERIES = {
+    "hll_distinct": q_hll_distinct,
+    "dsir_weights": q_dsir_weights,
+    "tfidf_keywords": q_tfidf_keywords,
+}
+
+ORACLE_SQL = {
+    "hll_distinct": _HLL_SQL,
+    "dsir_weights": _DSIR_SQL,
+    "tfidf_keywords": _TFIDF_SQL,
+}

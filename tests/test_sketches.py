@@ -1,0 +1,180 @@
+"""Sketching / weighting operators: HyperLogLog distinct estimate (accuracy
++ register mergeability), DSIR importance weights (target/raw separation +
+exact micro-nat arithmetic), TF-IDF keyword extraction (planted keywords,
+tie-break)."""
+
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pears_lite_ray.pipelines import sketches
+from pears_lite_ray.pipelines.common import tokenize_words
+from pears_lite_ray.pipelines.sketches import (
+    HLL_M,
+    _hll_estimate,
+    _hll_ranks,
+    q_dsir_weights,
+    q_hll_distinct,
+    q_tfidf_keywords,
+)
+
+
+def _tbl(x) -> pa.Table:
+    import ray.data as rd
+
+    if isinstance(x, rd.Dataset):
+        return pa.Table.from_pandas(x.to_pandas())
+    return x
+
+
+def _write_docs(dirpath, texts, langs=None, sources=None):
+    n = len(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs or ["en"] * n, pa.string()),
+                "source": pa.array(sources or ["s0"] * n, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(str(dirpath), "documents.parquet"),
+    )
+    return str(dirpath)
+
+
+@pytest.fixture(scope="module")
+def wide_vocab_dir(tmp_path_factory):
+    """Two sources with known distinct vocabularies: sA uses 3000 distinct
+    words, sB uses 400 — large enough that sA leaves HLL's linear-counting
+    regime credibility zone and exercises the estimator properly."""
+    rng = np.random.RandomState(7)
+    vocab_a = [f"wa{i}" for i in range(3000)]
+    vocab_b = [f"wb{i}" for i in range(400)]
+    texts, sources = [], []
+    for d in range(60):
+        texts.append(" ".join(vocab_a[50 * d: 50 * (d + 1)]))
+        sources.append("sA")
+    for d in range(20):
+        texts.append(" ".join(rng.choice(vocab_b, size=60)))
+        sources.append("sB")
+    d = tmp_path_factory.mktemp("hll")
+    return _write_docs(d, texts, sources=sources), 3000, set(
+        w for t in texts[60:] for w in t.split()
+    )
+
+
+def test_hll_estimate_within_error_bound(ray_session, wide_vocab_dir):
+    sf_dir, n_a, vocab_b_used = wide_vocab_dir
+    out = _tbl(q_hll_distinct(sf_dir))
+    rows = {r["source"]: r for r in out.to_pylist()}
+    # standard error is 1.04/sqrt(256) = 6.5%; allow 3 sigma
+    est_a = rows["sA"]["hll_distinct"]
+    assert abs(est_a - n_a) / n_a < 0.20, est_a
+    est_b = rows["sB"]["hll_distinct"]
+    assert abs(est_b - len(vocab_b_used)) / len(vocab_b_used) < 0.20, est_b
+
+
+def test_hll_registers_merge_exactly(ray_session, wide_vocab_dir):
+    """The distributed register state must equal a single-pass in-process
+    sketch over the same tokens — merge (elementwise max) is lossless."""
+    sf_dir, _, _ = wide_vocab_dir
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    regs = {}
+    from pears_lite_ray.pipelines.common import word_hash_stream
+
+    for text, src in zip(t["text"].to_pylist(), t["source"].to_pylist()):
+        _, hashes = word_hash_stream([tokenize_words(text)])
+        j, r = _hll_ranks(hashes)
+        reg = regs.setdefault(src, np.zeros(HLL_M, dtype=np.int64))
+        np.maximum.at(reg, j, r)
+    out = {r["source"]: r for r in _tbl(q_hll_distinct(sf_dir)).to_pylist()}
+    for src, reg in regs.items():
+        assert out[src]["n_registers_set"] == int((reg > 0).sum())
+        assert out[src]["ranksum"] == int(reg.sum())
+        expect = _hll_estimate(reg)
+        assert abs(out[src]["hll_distinct"] - expect) < 1e-6
+
+
+def test_dsir_separates_target_from_raw(ray_session, tmp_path):
+    """Docs written purely in target-language vocabulary must score a
+    higher importance weight than docs in disjoint non-target vocabulary."""
+    rng = np.random.RandomState(3)
+    tgt_vocab = [f"t{i}" for i in range(50)]
+    oth_vocab = [f"o{i}" for i in range(50)]
+    texts, langs = [], []
+    for _ in range(20):
+        texts.append(" ".join(rng.choice(tgt_vocab, size=40)))
+        langs.append("en")
+    for _ in range(20):
+        texts.append(" ".join(rng.choice(oth_vocab, size=40)))
+        langs.append("fr")
+    sf_dir = _write_docs(tmp_path, texts, langs=langs)
+    out = _tbl(q_dsir_weights(sf_dir)).to_pylist()
+    w = {r["doc_id"]: r["dsir_logw"] for r in out}
+    mean_tgt = np.mean([w[i] for i in range(20)])
+    mean_oth = np.mean([w[i] for i in range(20, 40)])
+    assert mean_tgt > 0 > mean_oth
+    # integer micro-nats and the rounded double must agree exactly
+    for r in out:
+        assert r["dsir_logw"] == round(r["dsir_logw_u"] / 1e6, 6)
+
+
+def test_dsir_weight_matches_inprocess_formula(ray_session, tmp_path):
+    """Independent transcription of the DSIR formula for one document."""
+    texts = ["apple banana apple", "cherry banana", "apple cherry cherry"]
+    langs = ["en", "en", "fr"]
+    sf_dir = _write_docs(tmp_path, texts, langs=langs)
+    out = {r["doc_id"]: r for r in _tbl(q_dsir_weights(sf_dir)).to_pylist()}
+
+    from pears_lite_ray.pipelines.common import word_hash_stream
+
+    B = sketches.DSIR_BUCKETS
+    n_raw, n_tgt = np.zeros(B, np.int64), np.zeros(B, np.int64)
+    for text, lang in zip(texts, langs):
+        _, h = word_hash_stream([tokenize_words(text)])
+        b = (h % np.uint64(B)).astype(np.int64)
+        np.add.at(n_raw, b, 1)
+        if lang == "en":
+            np.add.at(n_tgt, b, 1)
+    r_tot, t_tot = int(n_raw.sum()), int(n_tgt.sum())
+
+    def lam_u(b):
+        v = math.log(((int(n_tgt[b]) + 1) / (t_tot + B))
+                     / ((int(n_raw[b]) + 1) / (r_tot + B)))
+        return int(np.rint(np.floor(abs(v) * 1e6 + 0.5) * np.sign(v)))
+
+    _, h0 = word_hash_stream([tokenize_words(texts[0])])
+    expect = sum(lam_u(int(b)) for b in (h0 % np.uint64(B)).astype(np.int64))
+    assert out[0]["dsir_logw_u"] == expect
+    assert out[0]["n_tokens"] == 3
+
+
+def test_tfidf_planted_keywords_rank_first(ray_session, tmp_path):
+    """A term unique to one doc and repeated there must be its top keyword;
+    ubiquitous terms score idf=1 and lose."""
+    common = "filler words shared by every document here"
+    texts = [
+        f"{common} zebra zebra zebra",
+        f"{common} quasar quasar quasar quasar",
+        f"{common} {common}",
+    ]
+    sf_dir = _write_docs(tmp_path, texts)
+    out = _tbl(q_tfidf_keywords(sf_dir)).to_pylist()
+    top = {r["doc_id"]: r["term"] for r in out if r["rank"] == 1}
+    assert top[0] == "zebra"
+    assert top[1] == "quasar"
+    # doc 2 has only common terms; its top-1 is the alphabetically first
+    # of the max-score ties (all tf=2, same idf)
+    doc2 = sorted((r["rank"], r["term"]) for r in out if r["doc_id"] == 2)
+    assert [t for _, t in doc2[:1]][0] == min(common.split())
+    # ranks are 1..3 and scores non-increasing per doc
+    for d in (0, 1, 2):
+        rows = sorted((r["rank"], r["tfidf"]) for r in out if r["doc_id"] == d)
+        assert [k for k, _ in rows] == [1, 2, 3]
+        assert all(rows[i][1] >= rows[i + 1][1] for i in range(len(rows) - 1))
