@@ -289,6 +289,37 @@ def test_knn_ivf_recalls_planted(ray_session, planted_docs_dir):
     assert overlap > 0
 
 
+def test_knn_pq_recalls_planted_and_reranks_exactly(ray_session, planted_docs_dir):
+    """IVF-PQ finds the planted near-identical neighbor, its exact-rerank
+    cosines equal brute force for shared (query, neighbor) pairs, and the
+    top-1 agrees with brute force on the planted query."""
+    from pears_lite_ray.pipelines.similarity import q_knn_cosine, q_knn_pq
+
+    pq_t = _tbl(q_knn_pq(planted_docs_dir))
+    bf = _tbl(q_knn_cosine(planted_docs_dir))
+    pq_rows = {
+        (q, n): c
+        for q, n, c in zip(pq_t["query_id"].to_pylist(),
+                           pq_t["neighbor_id"].to_pylist(),
+                           pq_t["cos"].to_pylist())
+    }
+    bf_rows = {
+        (q, n): c
+        for q, n, c in zip(bf["query_id"].to_pylist(),
+                           bf["neighbor_id"].to_pylist(),
+                           bf["cos"].to_pylist())
+    }
+    # planted: vec 7 ≈ 2·vec 0 must be query 0's top hit with cos ≈ 1
+    assert pq_rows.get((0, 7), 0) > 0.99
+    # exact rerank: shared pairs score identically (both 4dp-rounded)
+    shared = set(pq_rows) & set(bf_rows)
+    assert shared and all(pq_rows[p] == bf_rows[p] for p in shared)
+    # aggregate recall of the ADC shortlist path vs brute-force top-k
+    qids = {q for q, _ in bf_rows}
+    recall = sum(1 for p in bf_rows if p in pq_rows) / len(bf_rows)
+    assert recall >= 0.5, (recall, len(qids))
+
+
 def test_gopher_quality_gate(ray_session, tmp_path):
     """Gopher rules fire on the right documents: a normal doc keeps, a
     too-short / symbol-heavy / stopword-free doc drops."""
