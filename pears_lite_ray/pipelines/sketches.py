@@ -159,6 +159,141 @@ def q_hll_distinct(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------- Count-Min ----
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_TOPN = 20
+# per-row salts (arbitrary odd constants, shared with the SQL replica)
+CMS_SALTS = (0x243F6A8885A308D3, 0x13198A2E03707344,
+             0xA4093822299F31D0, 0x082EFA98EC4E6C89)
+
+
+def _cms_cols(base: np.ndarray) -> np.ndarray:
+    """(depth, n) column indices: mix64(fnv ^ salt_r) % width per row."""
+    out = np.empty((CMS_DEPTH, base.size), dtype=np.int64)
+    for r, salt in enumerate(CMS_SALTS):
+        out[r] = (_mix64(base ^ np.uint64(salt)) % np.uint64(CMS_WIDTH)).astype(
+            np.int64
+        )
+    return out
+
+
+def q_cms_ngrams(sf_dir: str):
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over corpus bigrams,
+    evaluated against exact counts for the top-20 bigrams: emits
+    (bigram, true_n, cms_n) where cms_n = min over depth rows of the
+    hashed counter — always ≥ true_n, equal absent collisions.
+
+    Scale shape: the sketch partial is ≤ depth×width rows per batch no
+    matter the batch size, the merged sketch is a FIXED 4×1024 counter
+    table (the mergeable-counter analog of hll_distinct's registers), and
+    only that bounded table plus the top-N exact rows reach the driver.
+    The exact side is a standard combiner → groupby count. SQL-oracle-
+    checked — both the counters and the min-lookup replicate exactly."""
+
+    def bigram_stream(batch: pa.Table) -> list[str]:
+        toks, _ = tokens_per_row(batch)
+        grams: list[str] = []
+        for words in toks:
+            grams.extend(
+                f"{words[i]} {words[i + 1]}" for i in range(len(words) - 1)
+            )
+        return grams
+
+    from .common import fnv1a_slices
+
+    def gram_hashes(grams: list[str]) -> np.ndarray:
+        if not grams:
+            return np.empty(0, dtype=np.uint64)
+        buf = np.frombuffer("".join(grams).encode(), dtype=np.uint8)
+        lens = np.fromiter((len(g.encode()) for g in grams), dtype=np.int64,
+                           count=len(grams))
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        return fnv1a_slices(buf, starts, lens)
+
+    def cms_partial(batch: pa.Table) -> pa.Table:
+        grams = bigram_stream(batch)
+        counters = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+        if grams:
+            cols = _cms_cols(gram_hashes(grams))
+            for r in range(CMS_DEPTH):
+                np.add.at(counters[r], cols[r], 1)
+        rr, cc = np.nonzero(counters)
+        return pa.table(
+            {
+                "r": pa.array(rr.astype(np.int64), pa.int64()),
+                "c": pa.array(cc.astype(np.int64), pa.int64()),
+                "n": pa.array(counters[rr, cc], pa.int64()),
+            }
+        )
+
+    def cms_reduce(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "r": pa.array([group["r"][0].as_py()], pa.int64()),
+                "c": pa.array([group["c"][0].as_py()], pa.int64()),
+                "n": pa.array([int(group["n"].to_numpy().sum())], pa.int64()),
+            }
+        )
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        grams = bigram_stream(batch)
+        if not grams:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        uniq, cnt = np.unique(np.array(grams, dtype=object), return_counts=True)
+        return pa.table(
+            {
+                "bigram": pa.array(uniq.tolist(), pa.string()),
+                "n": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    def exact_reduce(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bigram": pa.array([group["bigram"][0].as_py()], pa.string()),
+                "n": pa.array([int(group["n"].to_numpy().sum())], pa.int64()),
+            }
+        )
+
+    docs = read_documents(sf_dir, columns=["text"])
+    sketch_rows = (
+        docs.map_batches(cms_partial, batch_format="pyarrow")
+        .groupby(["r", "c"])
+        .map_groups(cms_reduce, batch_format="pyarrow")
+        .take_all()
+    )  # ≤ CMS_DEPTH × CMS_WIDTH rows by construction — bounded driver pull
+    counters = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+    for row in sketch_rows:
+        counters[row["r"], row["c"]] = row["n"]
+
+    top = (
+        read_documents(sf_dir, columns=["text"])
+        .map_batches(exact_partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .map_groups(exact_reduce, batch_format="pyarrow")
+        .sort(["n", "bigram"], descending=[True, False])
+        .limit(CMS_TOPN)
+        .take_all()
+    )
+    grams = [row["bigram"] for row in top]
+    true_n = [int(row["n"]) for row in top]
+    cols = _cms_cols(gram_hashes(grams)) if grams else np.empty((CMS_DEPTH, 0))
+    cms_n = [
+        int(min(counters[r, cols[r, i]] for r in range(CMS_DEPTH)))
+        for i in range(len(grams))
+    ]
+    return pa.table(
+        {
+            "bigram": pa.array(grams, pa.string()),
+            "true_n": pa.array(true_n, pa.int64()),
+            "cms_n": pa.array(cms_n, pa.int64()),
+        }
+    )
+
+
 # --------------------------------------------------------------- DSIR ----
 
 DSIR_BUCKETS = 1024
@@ -428,14 +563,50 @@ SELECT doc_id, rank::BIGINT AS rank, term, tf, tfidf
 FROM ranked WHERE rank <= {TFIDF_TOPK}"""
 
 
+_CMS_SALT_VALUES = ", ".join(
+    f"({r}, {s}::UBIGINT)" for r, s in enumerate(CMS_SALTS)
+)
+
+_CMS_SQL = f"""
+WITH toks AS (SELECT {SQL_TOKENS} AS t FROM documents),
+bg AS (
+  SELECT t[__bi] || ' ' || t[__bi + 1] AS bigram
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(__bi)
+),
+bh AS (SELECT bigram, {sql_fnv1a('bigram')} AS hv FROM bg),
+salts(r, salt) AS (VALUES {_CMS_SALT_VALUES}),
+cells AS (
+  SELECT s.r, ({_sql_mix64('xor(bh.hv, s.salt)')} % 1024)::BIGINT AS c
+  FROM bh, salts s
+),
+counters AS (SELECT r, c, count(*)::BIGINT AS n FROM cells GROUP BY r, c),
+exact AS (
+  SELECT bigram, count(*)::BIGINT AS true_n
+  FROM bg GROUP BY bigram
+  ORDER BY true_n DESC, bigram ASC LIMIT {CMS_TOPN}
+),
+eh AS (SELECT bigram, true_n, {sql_fnv1a('bigram')} AS hv FROM exact),
+lookup AS (
+  SELECT e.bigram, e.true_n, min(ct.n) AS cms_n
+  FROM eh e, salts s
+  JOIN counters ct
+    ON ct.r = s.r
+   AND ct.c = ({_sql_mix64('xor(e.hv, s.salt)')} % 1024)::BIGINT
+  GROUP BY e.bigram, e.true_n
+)
+SELECT bigram, true_n, cms_n::BIGINT AS cms_n FROM lookup"""
+
+
 QUERIES = {
     "hll_distinct": q_hll_distinct,
+    "cms_ngrams": q_cms_ngrams,
     "dsir_weights": q_dsir_weights,
     "tfidf_keywords": q_tfidf_keywords,
 }
 
 ORACLE_SQL = {
     "hll_distinct": _HLL_SQL,
+    "cms_ngrams": _CMS_SQL,
     "dsir_weights": _DSIR_SQL,
     "tfidf_keywords": _TFIDF_SQL,
 }

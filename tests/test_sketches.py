@@ -101,6 +101,28 @@ def test_hll_registers_merge_exactly(ray_session, wide_vocab_dir):
         assert abs(out[src]["hll_distinct"] - expect) < 1e-6
 
 
+def test_cms_overestimates_and_hits_heavy_hitters(ray_session, tmp_path):
+    """Count-Min estimates are ≥ the true count always, and exact for a
+    planted heavy hitter that dominates the table."""
+    rng = np.random.RandomState(5)
+    vocab = [f"v{i}" for i in range(30)]
+    texts = ["heavy pair " * 50]  # 'heavy pair' ×50, 'pair heavy' ×49
+    for _ in range(10):
+        texts.append(" ".join(rng.choice(vocab, size=30)))
+    sf_dir = _write_docs(tmp_path, texts)
+    from pears_lite_ray.pipelines.sketches import q_cms_ngrams
+
+    out = _tbl(q_cms_ngrams(sf_dir)).to_pylist()
+    assert out, "top bigrams expected"
+    by_gram = {r["bigram"]: r for r in out}
+    assert by_gram["heavy pair"]["true_n"] == 50
+    for r in out:
+        assert r["cms_n"] >= r["true_n"]
+    # 4×1024 cells vs ~300 distinct bigrams: the planted hitter is
+    # overwhelmingly collision-free in at least one row
+    assert by_gram["heavy pair"]["cms_n"] == 50
+
+
 def test_dsir_separates_target_from_raw(ray_session, tmp_path):
     """Docs written purely in target-language vocabulary must score a
     higher importance weight than docs in disjoint non-target vocabulary."""
