@@ -406,14 +406,18 @@ def build_index(input_paths: list[str], cfg: BuildConfig) -> dict:
         segments.write_parquet(cfg.segments_dir)
     report["segments_sec"] = round(time.perf_counter() - t0, 3)
 
-    # pods table (Q9/A1): per-pod centroid for query routing
-    t0 = time.perf_counter()
-    from ..vocab import Vocab
-    from .pods import build_pods_table
+    # pods table (Q9/A1): per-pod centroid for query routing. Skippable
+    # (extra={"skip_pods": True}) for throwaway sub-builds that only score
+    # BM25 — merge/compact/SPM benchmark legs — where the extra Ray job is
+    # pure fixed cost.
+    if not cfg.extra.get("skip_pods"):
+        t0 = time.perf_counter()
+        from ..vocab import Vocab
+        from .pods import build_pods_table
 
-    vocab = Vocab.load(cfg.vocab_path) if cfg.tokenizer == "spm" else None
-    build_pods_table(cfg, vocab)
-    report["pods_sec"] = round(time.perf_counter() - t0, 3)
+        vocab = Vocab.load(cfg.vocab_path) if cfg.tokenizer == "spm" else None
+        build_pods_table(cfg, vocab)
+        report["pods_sec"] = round(time.perf_counter() - t0, 3)
 
     report.update(stats)
     report["k1"] = BM25_K1

@@ -206,7 +206,13 @@ def merge_indexes(dir_a: str, dir_b: str, out_dir: str,
         # and costs the same as a compaction.
         return concat._fallback_merge(t, exclude_src1=excl)
 
-    merged = segs.groupby("term_id").map_groups(merge_group, batch_format="pyarrow")
+    # data-size the sort-shuffle: the partitioned-parquet read yields one
+    # micro-block per termhash dir and the groupby barrier pays per block
+    merged = (
+        segs.repartition(_staging_partitions(dir_a, dir_b))
+        .groupby("term_id")
+        .map_groups(merge_group, batch_format="pyarrow")
+    )
     seg_out = os.path.join(out_dir, "segments")
     shutil.rmtree(seg_out, ignore_errors=True)
     try:

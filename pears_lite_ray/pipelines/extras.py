@@ -178,7 +178,8 @@ def q_merge_bm25(sf_dir: str):
     for paths, d in ((pa_, ia), (pb_, ib)):
         if not os.path.exists(os.path.join(d, "stats.json")):
             build_index([paths], BuildConfig(out_dir=d, tokenizer="regex",
-                                             vocab_path=None))
+                                             vocab_path=None,
+                                             extra={"skip_pods": True}))
     if not os.path.exists(os.path.join(im, "stats.json")):
         merge_indexes(ia, ib, im, BuildConfig(out_dir=im, tokenizer="regex",
                                               vocab_path=None))
@@ -199,7 +200,8 @@ def q_compact_bm25(sf_dir: str):
     marker = os.path.join(out, "COMPACTED")
     if not os.path.exists(marker):
         build_index([documents_path(sf_dir)],
-                    BuildConfig(out_dir=out, tokenizer="regex", vocab_path=None))
+                    BuildConfig(out_dir=out, tokenizer="regex", vocab_path=None,
+                                extra={"skip_pods": True}))
         ids = pq.read_table(documents_path(sf_dir), columns=["doc_id"])["doc_id"].to_numpy()
         victims = ids[ids % COMPACT_MOD == COMPACT_RESIDUE]
         delete_doc_ids(out, victims)
@@ -227,7 +229,8 @@ def _spm_subset_index(sf_dir: str) -> str:
         t = pq.read_table(documents_path(sf_dir))
         t = t.filter(pa.array(t["doc_id"].to_numpy() % SPM_SLICE_MOD == 0))
         pq.write_table(t, src)
-        build_index([src], BuildConfig(out_dir=out))  # default = SPM vocab
+        build_index([src], BuildConfig(out_dir=out,
+                                       extra={"skip_pods": True}))  # default = SPM vocab
     return out
 
 
