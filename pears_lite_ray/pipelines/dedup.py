@@ -891,6 +891,47 @@ def connected_components(edges, nparts: int | None = None,
     return edges.map_batches(labels, batch_format="pyarrow")
 
 
+CC_DRIVER_EDGE_CAP = 2_000_000  # ≈32 MB of edge rows — bounded driver pull
+
+
+def _driver_components(edges) -> "rd.Dataset":
+    """Exact union-find over a BOUNDED edge set (min-id root convention so
+    labels equal the distributed loop's star centres). Returns the same
+    (node, label) shape as connected_components."""
+    import ray.data as rd
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for block in edges.iter_batches(batch_format="pyarrow"):
+        for a, b in zip(block["edge_a"].to_numpy(), block["edge_b"].to_numpy()):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+    all_nodes = set(parent)
+    for block in edges.iter_batches(batch_format="pyarrow"):
+        all_nodes.update(int(x) for x in block["edge_a"].to_pylist())
+        all_nodes.update(int(x) for x in block["edge_b"].to_pylist())
+    nodes = sorted(all_nodes)
+    labels = [find(n) for n in nodes]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "label": pa.array(labels, pa.int64()),
+            }
+        )
+    )
+
+
 def q_dup_clusters(sf_dir: str, tau: float = CC_TAU):
     """Near-duplicate CLUSTER assignment: every document labelled with the
     minimum doc_id of its connected component in the jaccard-pair graph
@@ -917,10 +958,20 @@ def q_dup_clusters(sf_dir: str, tau: float = CC_TAU):
 
     edges = q_jaccard_pairs(sf_dir).map_batches(
         thresh, batch_format="pyarrow"
-    )
-    # edge-sized shuffle partitions inside the CC loop (nparts=None); the
-    # final per-doc label reduce below is corpus-sized and keeps `nparts`
-    members = connected_components(edges, nparts=None)
+    ).materialize()
+    # Same bounded-pull pattern as index/build.py's dup-winner resolution:
+    # below CC_DRIVER_EDGE_CAP the edge set is pulled once (≤ cap × 16 B)
+    # and solved with union-find — the multi-round distributed loop costs
+    # several Ray jobs per round, pure fixed cost at small edge counts.
+    # Above the cap (a 100 TB crawl has billions of near-dup edges) the
+    # alternating-star loop runs; both paths are exact and the equality is
+    # regression-tested (tests/test_dup_clusters.py).
+    if edges.count() <= CC_DRIVER_EDGE_CAP:
+        members = _driver_components(edges)
+    else:
+        # edge-sized shuffle partitions inside the CC loop (nparts=None);
+        # the final per-doc label reduce below is corpus-sized (`nparts`)
+        members = connected_components(edges, nparts=None)
 
     def self_label(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].combine_chunks() if isinstance(

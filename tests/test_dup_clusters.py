@@ -99,6 +99,25 @@ def test_dup_clusters_transitive_chain(ray_session, planted_docs_dir):
     assert (out.loc[4:] == out.index[4:]).all()
 
 
+def test_dup_clusters_driver_and_distributed_paths_agree(
+    ray_session, planted_docs_dir, monkeypatch
+):
+    """The bounded driver union-find (default at bench scale) and the
+    above-cap distributed alternating-star loop label identically."""
+    from pears_lite_ray.pipelines import dedup
+
+    fast = (
+        dedup.q_dup_clusters(planted_docs_dir)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    monkeypatch.setattr(dedup, "CC_DRIVER_EDGE_CAP", -1)  # force distributed
+    slow = (
+        dedup.q_dup_clusters(planted_docs_dir)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert fast.equals(slow)
+
+
 def test_dup_clusters_oracle_parity(ray_session, planted_docs_dir):
     """Engine vs the DuckDB recursive-CTE oracle on the planted corpus."""
     import duckdb
