@@ -11,15 +11,16 @@ here (nor in the library code it calls) calls ``ray.init()`` /
 * ``queries()`` — one callable per implemented operator pipeline
   (SURVEY.md §2 + the training-data operator set: dedup, similarity
   search, text analysis, index maintenance, multimodal stages).
-* ``oracle_sql()`` — DuckDB SQL equivalents where expressible: 44 of the
-  52 entries are SQL-exact, including the as-of and range joins
+* ``oracle_sql()`` — DuckDB SQL equivalents where expressible: 45 of the
+  53 entries are SQL-exact, including the as-of and range joins
   (window-ranked / inequality-join replicas), exact per-type value
   quantiles, the per-source corpus-composition report, SimHash / winnowing fingerprints /
   language-ID (list_reduce FNV-1a), the pears fusion scoring, batch
   search, near-dup cluster assignment (recursive CTE), PII redaction
   (shared RE2 patterns), the multimodal stages (ord() byte extraction),
   the HyperLogLog distinct sketch (register-exact splitmix64 replica),
-  the Count-Min bigram sketch (counter-exact replica),
+  the Count-Min bigram sketch (counter-exact replica), Bloom-filter
+  decontamination (bit-position-exact replica),
   DSIR importance weights (integer micro-nat log-ratios) and TF-IDF
   keyword extraction. Rows-only by nature: MinHash/LSH/IVF/IVF-PQ ANN
   (hash permutations / trained quantizers), distributed k-means

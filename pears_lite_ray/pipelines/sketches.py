@@ -300,6 +300,87 @@ def q_cms_ngrams(sf_dir: str):
     )
 
 
+# -------------------------------------------------------------- Bloom ----
+
+BLOOM_M = 1 << 16          # bits — an 8 KB broadcast object
+BLOOM_K = 3
+BLOOM_SALTS = (0x452821E638D01377, 0xBE5466CF34E90C6C, 0xC0AC29B7C97C50DD)
+BLOOM_NGRAM = 5
+BLOOM_BENCH_MOD = 97       # same held-out benchmark rows as `decontaminate`
+
+
+def _bloom_positions(h: np.ndarray) -> np.ndarray:
+    """(BLOOM_K, n) bit positions: mix64(h ^ salt_k) % M."""
+    out = np.empty((BLOOM_K, h.size), dtype=np.int64)
+    for k, salt in enumerate(BLOOM_SALTS):
+        out[k] = (_mix64(h ^ np.uint64(salt)) % np.uint64(BLOOM_M)).astype(np.int64)
+    return out
+
+
+def q_bloom_decontaminate(sf_dir: str):
+    """Benchmark decontamination through a Bloom filter: the broadcast
+    object is a FIXED 8 KB bitset instead of the benchmark's full n-gram
+    hash set — the variant that still broadcasts when the benchmark suite
+    has billions of distinct n-grams. Emits both the Bloom flag and the
+    exact flag so false positives are observable data, never silent:
+    ``n_bloom_hits ≥ n_hits`` always, and every exactly-contaminated doc
+    is Bloom-flagged (no false negatives, the Bloom guarantee).
+    SQL-oracle-checked — bit positions replicate via the splitmix64
+    replica, membership via a distinct-position anti-join-free count."""
+    from .common import distinct_per_row, shingle_stream
+
+    def bench_hashes(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        sub = batch.filter(pa.array(ids % BLOOM_BENCH_MOD == 0))
+        toks, _ = tokens_per_row(sub)
+        _, hs = shingle_stream(toks, BLOOM_NGRAM)
+        return pa.table({"h": pa.array(np.unique(hs).view(np.int64), pa.int64())})
+
+    parts = (
+        read_documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(bench_hashes, batch_format="pyarrow")
+        .take_all()
+    )  # bounded by benchmark size (doc_id % 97 rows), same as decontaminate
+    bench = np.unique(np.array([r["h"] for r in parts], dtype=np.int64))
+    bits = np.zeros(BLOOM_M, dtype=bool)
+    if bench.size:
+        bits[_bloom_positions(bench.view(np.uint64)).ravel()] = True
+
+    class BloomStage:
+        def __init__(self, bits: np.ndarray, bench_sorted: np.ndarray):
+            self.bits = bits
+            self.bench = bench_sorted.view(np.uint64)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            toks, _ = tokens_per_row(batch)
+            rows, hs = shingle_stream(toks, BLOOM_NGRAM)
+            n_bloom = np.zeros(len(toks), dtype=np.int64)
+            n_exact = np.zeros(len(toks), dtype=np.int64)
+            if rows.size:
+                r, v, _ = distinct_per_row(rows, hs)
+                pos = _bloom_positions(v)
+                hit = self.bits[pos].all(axis=0)
+                np.add.at(n_bloom, r[hit], 1)
+                np.add.at(n_exact, r[np.isin(v, self.bench)], 1)
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "n_bloom_hits": pa.array(n_bloom, pa.int64()),
+                    "bloom_contaminated": pa.array(n_bloom > 0, pa.bool_()),
+                    "n_hits": pa.array(n_exact, pa.int64()),
+                    "contaminated": pa.array(n_exact > 0, pa.bool_()),
+                }
+            )
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        BloomStage,
+        fn_constructor_kwargs={"bits": bits, "bench_sorted": bench},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+
 # --------------------------------------------------------------- DSIR ----
 
 DSIR_BUCKETS = 1024
@@ -630,9 +711,56 @@ lookup AS (
 SELECT bigram, true_n, cms_n::BIGINT AS cms_n FROM lookup"""
 
 
+_BLOOM_GRAM = sql_fnv1a(
+    "t[__gi] || ' ' || t[__gi+1] || ' ' || t[__gi+2] || ' ' || "
+    "t[__gi+3] || ' ' || t[__gi+4] || ' '"
+)
+
+_BLOOM_SALT_VALUES = ", ".join(f"({s}::UBIGINT)" for s in BLOOM_SALTS)
+
+_BLOOM_SQL = f"""
+WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
+grams AS (
+  SELECT doc_id, {_BLOOM_GRAM} AS h
+  FROM toks, UNNEST(generate_series(1, len(t) - 4)) AS u(__gi)
+),
+dg AS (SELECT DISTINCT doc_id, h FROM grams),
+bench AS (SELECT DISTINCT h FROM grams WHERE doc_id % {BLOOM_BENCH_MOD} = 0),
+salts(salt) AS (VALUES {_BLOOM_SALT_VALUES}),
+bpos AS (
+  SELECT DISTINCT ({_sql_mix64('xor(bench.h, salts.salt)')}
+                   % {BLOOM_M})::BIGINT AS p
+  FROM bench, salts
+),
+probe AS (
+  SELECT dg.doc_id, dg.h, count(bp.p) AS k_present
+  FROM dg CROSS JOIN salts s
+  LEFT JOIN bpos bp
+    ON bp.p = ({_sql_mix64('xor(dg.h, s.salt)')} % {BLOOM_M})::BIGINT
+  GROUP BY dg.doc_id, dg.h
+),
+agg AS (
+  SELECT doc_id, count(*) FILTER (k_present = {BLOOM_K})::BIGINT AS n_bloom
+  FROM probe GROUP BY doc_id
+),
+ex AS (
+  SELECT doc_id, count(*)::BIGINT AS n_ex
+  FROM dg WHERE h IN (SELECT h FROM bench) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_bloom, 0)::BIGINT AS n_bloom_hits,
+       coalesce(a.n_bloom, 0) > 0 AS bloom_contaminated,
+       coalesce(e.n_ex, 0)::BIGINT AS n_hits,
+       coalesce(e.n_ex, 0) > 0 AS contaminated
+FROM documents d
+LEFT JOIN agg a ON a.doc_id = d.doc_id
+LEFT JOIN ex e ON e.doc_id = d.doc_id"""
+
+
 QUERIES = {
     "hll_distinct": q_hll_distinct,
     "cms_ngrams": q_cms_ngrams,
+    "bloom_decontaminate": q_bloom_decontaminate,
     "dsir_weights": q_dsir_weights,
     "tfidf_keywords": q_tfidf_keywords,
 }
@@ -640,6 +768,7 @@ QUERIES = {
 ORACLE_SQL = {
     "hll_distinct": _HLL_SQL,
     "cms_ngrams": _CMS_SQL,
+    "bloom_decontaminate": _BLOOM_SQL,
     "dsir_weights": _DSIR_SQL,
     "tfidf_keywords": _TFIDF_SQL,
 }

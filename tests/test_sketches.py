@@ -123,6 +123,47 @@ def test_cms_overestimates_and_hits_heavy_hitters(ray_session, tmp_path):
     assert by_gram["heavy pair"]["cms_n"] == 50
 
 
+def test_bloom_decontaminate_no_false_negatives(ray_session, tmp_path):
+    """Bloom flags ⊇ exact flags; benchmark docs flag themselves; clean
+    docs with disjoint vocabulary stay clean (no collisions at this load)."""
+    rng = np.random.RandomState(9)
+    bench_text = " ".join(f"b{i}" for i in range(40))
+    texts, ids = [], []
+    texts.append(bench_text)                       # doc_id 0 → benchmark row
+    leak = "x0 " + " ".join(f"b{i}" for i in range(10, 16)) + " x1"
+    texts.append(leak)                             # shares 5-grams with bench
+    for _ in range(8):
+        texts.append(" ".join(rng.choice([f"c{i}" for i in range(40)], size=30)))
+    d = tmp_path
+    import pyarrow.parquet as pq_
+    n = len(texts)
+    pq_.write_table(
+        pa.table(
+            {
+                # doc_id 0 ≡ 0 (mod 97) is the benchmark row
+                "doc_id": pa.array(range(0, 300 * n, 300), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array(["s"] * n, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(str(d), "documents.parquet"),
+    )
+    from pears_lite_ray.pipelines.sketches import q_bloom_decontaminate
+
+    out = {r["doc_id"]: r for r in _tbl(q_bloom_decontaminate(str(d))).to_pylist()}
+    for r in out.values():
+        assert r["n_bloom_hits"] >= r["n_hits"]
+        if r["contaminated"]:
+            assert r["bloom_contaminated"]
+    assert out[0]["contaminated"] and out[0]["bloom_contaminated"]
+    # doc 300 (doc_id 300 ≢ 0 mod 97... pick the leak row): index 1 → id 300
+    assert out[300]["contaminated"], "leak doc shares benchmark 5-grams"
+    clean = [r for i, r in out.items() if i >= 600]
+    assert all(not r["contaminated"] for r in clean)
+
+
 def test_dsir_separates_target_from_raw(ray_session, tmp_path):
     """Docs written purely in target-language vocabulary must score a
     higher importance weight than docs in disjoint non-target vocabulary."""
