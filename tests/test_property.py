@@ -74,3 +74,47 @@ def test_distinct_per_row_counts(rows):
         got = dict(zip(vd[mask].tolist(), cnt[mask].tolist()))
         assert got == dict(want), (i, words)
         assert sorted(got) == vd[mask].tolist()  # sorted within row
+
+
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 64) - 1),
+                min_size=1, max_size=50))
+@settings(max_examples=40, deadline=None)
+def test_mix64_sql_replica_matches_numpy(values):
+    """The splitmix64 finalizer (HLL registers, CMS columns, Bloom bit
+    positions) must agree bit-for-bit between the numpy kernel and its
+    DuckDB replica for arbitrary 64-bit inputs."""
+    import duckdb
+
+    from pears_lite_ray.pipelines.sketches import _mix64, _sql_mix64
+
+    arr = np.array(values, dtype=np.uint64)
+    got_np = _mix64(arr)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE v(h UBIGINT)")
+    con.executemany("INSERT INTO v VALUES (?)", [(int(x),) for x in values])
+    got_sql = [r[0] for r in
+               con.execute(f"SELECT {_sql_mix64('h')} FROM v").fetchall()]
+    assert [int(x) for x in got_np] == [int(x) for x in got_sql]
+
+
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 64) - 1),
+                min_size=1, max_size=200))
+@settings(max_examples=25, deadline=None)
+def test_hll_register_state_is_merge_invariant(values):
+    """Registers built from any split of the hash stream and merged by
+    elementwise max equal the single-pass registers (the HLL merge law)."""
+    from pears_lite_ray.pipelines.sketches import HLL_M, _hll_ranks
+
+    arr = np.array(values, dtype=np.uint64)
+    whole = np.zeros(HLL_M, dtype=np.int64)
+    j, r = _hll_ranks(arr)
+    np.maximum.at(whole, j, r)
+    cut = len(values) // 2
+    merged = np.zeros(HLL_M, dtype=np.int64)
+    for part in (arr[:cut], arr[cut:]):
+        if part.size:
+            regs = np.zeros(HLL_M, dtype=np.int64)
+            j, r = _hll_ranks(part)
+            np.maximum.at(regs, j, r)
+            merged = np.maximum(merged, regs)
+    assert (whole == merged).all()
