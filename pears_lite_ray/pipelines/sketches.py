@@ -20,6 +20,13 @@
                    vocabulary broadcast — raw-token vocabularies at
                    100 TB exceed broadcast budgets), and a per-doc top-k
                    ``map_groups``.
+* cms_ngrams     — Count-Min sketch over corpus bigrams: fixed 4×1024
+                   counter partials merged by sum, top-20 exact counts
+                   reported next to the (always ≥) sketch estimates.
+* bloom_decontaminate — benchmark decontamination through an 8 KB Bloom
+                   bitset broadcast instead of the exact n-gram set,
+                   exact flags emitted alongside so false positives are
+                   observable data.
 
 The reference has no sketching layer (its "stats" are exact SQLite
 counts, app/api/models.py); these are the scale-path analogs a 100 TB
