@@ -196,6 +196,12 @@ def main() -> None:
     suite = run_pipeline_suite(SF_DIR)
     total = round(time.perf_counter() - t_total, 3)
     queries = {"index_build_and_query": head["build_sec"]} | suite
+    # window calibration: this VM's throughput swings ±2-3× between
+    # wall-clock windows (hypervisor sharing, invisible to loadavg). A
+    # fixed single-process burn stamped into every run lets readers
+    # normalize totals across windows: suite seconds scale ~linearly with
+    # burn_1p_sec on the same commit (measured r3: 20.9 s vs 39.9 s
+    # headline on identical code).
     print(json.dumps({
         "metric": "index-build + BM25 query + operator-suite wall time",
         "value": total,
@@ -204,6 +210,7 @@ def main() -> None:
         "sf": SF_DIR,
         "num_cpus": args.cpus,
         "headline": head,
+        "calibration_burn_1p_sec": round(_burn(0), 3),
     }))
 
 
