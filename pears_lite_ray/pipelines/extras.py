@@ -127,6 +127,38 @@ def q_stego_docs(sf_dir: str):
     return t.select(["url", "title", "snippet", "cc"])
 
 
+def _warm_lazy_fs_imports() -> None:
+    """Make concurrent driver-thread ``read_parquet`` calls deterministic.
+
+    Ray resolves paths through ``_is_http_filesystem`` (ray/data/datasource/
+    path_util.py), which re-attempts ``from fsspec.implementations.http
+    import HTTPFileSystem`` on EVERY call and catches only
+    ``ModuleNotFoundError``. In this environment the import always fails
+    (aiohttp is not installed), so the failure is never cached and two
+    threads calling ``read_parquet`` concurrently can race the retried
+    import — the loser observes a half-initialized module and gets a plain
+    ``ImportError`` that escapes Ray's except clause. If the real import
+    fails, install a minimal stub module once so every later import
+    succeeds instantly (isinstance checks against the stub are simply
+    False; nothing in this sandbox can construct a real HTTP filesystem)."""
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ModuleNotFoundError:
+        import sys
+        import types
+
+        import fsspec.implementations
+
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # placeholder — never instantiated here
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
+        fsspec.implementations.http = mod
+
+
 # -- S7: index union ---------------------------------------------------------
 
 def _half_paths(sf_dir: str) -> tuple[str, str]:
@@ -175,6 +207,13 @@ def q_merge_bm25(sf_dir: str):
     pa_, pb_ = _half_paths(sf_dir)
     ia, ib = _cache_dir(sf_dir, "idx-even"), _cache_dir(sf_dir, "idx-odd")
     im = _cache_dir(sf_dir, "idx-merged")
+    # NOTE: the two half-builds run SEQUENTIALLY on purpose. Running them
+    # from two driver threads deadlocks: each build sizes a FIXED actor
+    # pool of (CPUs - 2) plus hash-shuffle aggregator actors, so two
+    # concurrent pipelines over-reserve the cluster and neither's read
+    # tasks can schedule (same failure mode as two min-sized pools in one
+    # pipeline — see memory/ray-sandbox-perf-facts).
+    _warm_lazy_fs_imports()
     for paths, d in ((pa_, ia), (pb_, ib)):
         if not os.path.exists(os.path.join(d, "stats.json")):
             build_index([paths], BuildConfig(out_dir=d, tokenizer="regex",
@@ -193,15 +232,25 @@ def q_compact_bm25(sf_dir: str):
     rescore (D1): results must equal a corpus that never held those docs."""
     import pyarrow.parquet as pq
 
-    from ..index.build import build_index
     from ..index.maintenance import compact, delete_doc_ids
 
     out = _cache_dir(sf_dir, "idx-compacted")
     marker = os.path.join(out, "COMPACTED")
     if not os.path.exists(marker):
-        build_index([documents_path(sf_dir)],
-                    BuildConfig(out_dir=out, tokenizer="regex", vocab_path=None,
-                                extra={"skip_pods": True}))
+        # start from a COPY of the shared full-corpus regex index (same
+        # tokenizer/config as a fresh build here) instead of rebuilding:
+        # compact() rebuilds segments from the copied staging, so the
+        # shared original is never mutated. The pods table in the copy is
+        # not re-derived after compaction — this entry only scores BM25.
+        import shutil
+
+        from .fulltext import docs_index_dir
+
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.copytree(docs_index_dir(sf_dir), out)
+        tomb = os.path.join(out, "tombstones.json")
+        if os.path.exists(tomb):
+            os.remove(tomb)
         ids = pq.read_table(documents_path(sf_dir), columns=["doc_id"])["doc_id"].to_numpy()
         victims = ids[ids % COMPACT_MOD == COMPACT_RESIDUE]
         delete_doc_ids(out, victims)
