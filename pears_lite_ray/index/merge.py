@@ -49,68 +49,30 @@ def _staging_partitions(*dirs: str) -> int:
     return int(max(8, min(total // (64 << 20), 4 * cpus)))
 
 
-def _merged_doc_stats(dir_a: str, dir_b: str) -> tuple[int, int]:
-    """(n_docs, total_postings) of the union, counting each distinct doc_id
-    ONCE. A doc present in both indexes keeps index A's posting rows in the
-    merge (union lists A first; the fallback merge's stable sort keeps the
-    first occurrence), so its doclen is taken from A. Distributed: one
-    groupby over the light (doc_id, doclen) columns of both stagings."""
-    import numpy as np
+def _union_doc_scan(dir_a: str, dir_b: str) -> tuple[int, int, "np.ndarray"]:
+    """ONE pass over both stagings → (n_docs, total_postings, conflicts).
+
+    Counting each distinct doc_id ONCE: a doc present in both indexes keeps
+    index A's posting rows in the merge (union lists A first; the fallback
+    merge's stable sort keeps the first occurrence), so its doclen is taken
+    from A. ``conflicts`` = doc_ids present in BOTH indexes with DIFFERENT
+    tokenized content, detected by an FNV-1a signature over the doc's
+    term_ids bytes (vectorized batch kernel) xor-folded with doclen —
+    identical-content shares need no exclusion because their postings are
+    byte-identical and the merge's first-occurrence dedup is exact.
+
+    Fused on purpose: doc stats and conflict detection each need a
+    groupby(doc_id) over both stagings; doing them separately pays the scan
+    and the all-to-all twice. One scan emits (doc_id, dl_a/b, sig_a/b), one
+    hash shuffle groups it, and the per-doc grouped table (tiny: 5 ints per
+    distinct doc, object-store-resident) feeds both consumers — only the
+    conflicting ids (re-crawled content — rare) reach the driver."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Count, Max, Sum
 
-    def tag(src_a: bool):
-        def f(t: pa.Table) -> pa.Table:
-            dl = t["doclen"].cast(pa.int64())
-            null = pa.nulls(len(t), pa.int64())
-            return pa.table(
-                {
-                    "doc_id": t["doc_id"],
-                    "dl_a": dl if src_a else null,
-                    "dl_b": null if src_a else dl,
-                }
-            )
-        return f
-
-    ds = (
-        rd.read_parquet(os.path.join(dir_a, "staging"),
-                        columns=["doc_id", "doclen"])
-        .map_batches(tag(True), batch_format="pyarrow")
-        .union(
-            rd.read_parquet(os.path.join(dir_b, "staging"),
-                            columns=["doc_id", "doclen"])
-            .map_batches(tag(False), batch_format="pyarrow")
-        )
-        .groupby("doc_id", num_partitions=_staging_partitions(dir_a, dir_b))
-        .aggregate(Max("dl_a", alias_name="dl_a"),
-                   Max("dl_b", alias_name="dl_b"))
-    )
-
-    def pick(t: pa.Table) -> pa.Table:
-        dl = pc.coalesce(t["dl_a"], t["dl_b"])
-        return pa.table({"one": pa.nulls(len(t), pa.int64()).fill_null(1),
-                         "dl": dl})
-
-    agg = ds.map_batches(pick, batch_format="pyarrow").aggregate(
-        Count(alias_name="n"), Sum("dl", alias_name="sum_dl")
-    )
-    return int(agg["n"] or 0), int(agg["sum_dl"] or 0)
-
-
-def _conflicting_doc_ids(dir_a: str, dir_b: str) -> "np.ndarray":
-    """doc_ids present in BOTH indexes with DIFFERENT tokenized content.
-
-    Signature = FNV-1a over the doc's term_ids bytes (vectorized batch
-    kernel), xor-folded with doclen. Distributed: one light scan over each
-    staging's (doc_id, doclen, term_ids), a groupby(doc_id), and only the
-    CONFLICTING ids (re-crawled content — rare) reach the driver.
-    Identical-content shares need no exclusion: their postings are
-    byte-identical and the merge's first-occurrence dedup is exact."""
-    from ray.data.aggregate import Max
-
     from ..pipelines.common import fnv1a_slices
 
-    def sig_batches(src_a: bool):
+    def tag(src_a: bool):
         def f(t: pa.Table) -> pa.Table:
             col = t["term_ids"]
             arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
@@ -123,10 +85,13 @@ def _conflicting_doc_ids(dir_a: str, dir_b: str) -> "np.ndarray":
             sig = (h ^ t["doclen"].cast(pa.int64()).to_numpy().astype(np.uint64)
                    ).view(np.int64)
             sig_col = pa.array(sig, pa.int64())
+            dl = t["doclen"].cast(pa.int64())
             null = pa.nulls(len(t), pa.int64())
             return pa.table(
                 {
                     "doc_id": t["doc_id"],
+                    "dl_a": dl if src_a else null,
+                    "dl_b": null if src_a else dl,
                     "sig_a": sig_col if src_a else null,
                     "sig_b": null if src_a else sig_col,
                 }
@@ -134,27 +99,38 @@ def _conflicting_doc_ids(dir_a: str, dir_b: str) -> "np.ndarray":
         return f
 
     cols = ["doc_id", "doclen", "term_ids"]
-    ds = (
+    per_doc = (
         rd.read_parquet(os.path.join(dir_a, "staging"), columns=cols)
-        .map_batches(sig_batches(True), batch_format="pyarrow")
+        .map_batches(tag(True), batch_format="pyarrow")
         .union(
             rd.read_parquet(os.path.join(dir_b, "staging"), columns=cols)
-            .map_batches(sig_batches(False), batch_format="pyarrow")
+            .map_batches(tag(False), batch_format="pyarrow")
         )
         .groupby("doc_id", num_partitions=_staging_partitions(dir_a, dir_b))
-        .aggregate(Max("sig_a", alias_name="sig_a"),
+        .aggregate(Max("dl_a", alias_name="dl_a"),
+                   Max("dl_b", alias_name="dl_b"),
+                   Max("sig_a", alias_name="sig_a"),
                    Max("sig_b", alias_name="sig_b"))
+        .materialize()
     )
 
     def keep_conflicts(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         both = pc.and_(pc.is_valid(t["sig_a"]), pc.is_valid(t["sig_b"]))
         diff = pc.not_equal(t["sig_a"], t["sig_b"])
         return t.select(["doc_id"]).filter(pc.and_(both, diff))
 
-    parts = ds.map_batches(keep_conflicts, batch_format="pyarrow").take_all()
-    return np.array(sorted(int(r["doc_id"]) for r in parts), dtype=np.int64)
+    parts = per_doc.map_batches(keep_conflicts, batch_format="pyarrow").take_all()
+    conflicts = np.array(sorted(int(r["doc_id"]) for r in parts), dtype=np.int64)
+
+    def pick(t: pa.Table) -> pa.Table:
+        dl = pc.coalesce(t["dl_a"], t["dl_b"])
+        return pa.table({"one": pa.nulls(len(t), pa.int64()).fill_null(1),
+                         "dl": dl})
+
+    agg = per_doc.map_batches(pick, batch_format="pyarrow").aggregate(
+        Count(alias_name="n"), Sum("dl", alias_name="sum_dl")
+    )
+    return int(agg["n"] or 0), int(agg["sum_dl"] or 0), conflicts
 
 
 def merge_indexes(dir_a: str, dir_b: str, out_dir: str,
@@ -170,13 +146,11 @@ def merge_indexes(dir_a: str, dir_b: str, out_dir: str,
     sa, sb = stats[dir_a], stats[dir_b]
     if sa.get("tokenizer") != sb.get("tokenizer"):
         raise ValueError("cannot union indexes built with different tokenizers")
-    n, total = _merged_doc_stats(dir_a, dir_b)
-    avgdl = total / n if n else 0.0
-    keep_pos = bool(sa.get("keep_positions", True)) and bool(sb.get("keep_positions", True))
-
     # doc_ids in both indexes with DIFFERENT content: index A wins; B's
     # postings/staging rows for those ids are dropped below
-    conflicts = _conflicting_doc_ids(dir_a, dir_b)
+    n, total, conflicts = _union_doc_scan(dir_a, dir_b)
+    avgdl = total / n if n else 0.0
+    keep_pos = bool(sa.get("keep_positions", True)) and bool(sb.get("keep_positions", True))
 
     def tag_src(val: int):
         def f(t: pa.Table) -> pa.Table:
