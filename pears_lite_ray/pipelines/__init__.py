@@ -6,9 +6,19 @@ the semantics are ANSI-SQL-expressible (column names match exactly — the
 driver hashes values after sorting columns by name).
 """
 
-from . import dedup, events, extras, fulltext, similarity, sketches, textstats
+from . import (
+    dedup,
+    events,
+    extras,
+    fulltext,
+    similarity,
+    sketches,
+    textstats,
+    weburl,
+)
 
-_MODULES = (fulltext, dedup, similarity, textstats, events, extras, sketches)
+_MODULES = (fulltext, dedup, similarity, textstats, events, extras, sketches,
+            weburl)
 
 
 def all_queries():

@@ -509,6 +509,67 @@ def q_pack_sequences(sf_dir: str):
     ).map_groups(assign, batch_format="pyarrow")
 
 
+# -- overlapping chunking ----------------------------------------------------
+
+CHUNK_WINDOW = 200   # chars per training chunk
+CHUNK_STRIDE = 150   # window start step (50-char overlap between chunks)
+
+
+def q_chunk_overlap(sf_dir: str):
+    """Sliding-window document chunking (long-document splitting for
+    training/embedding: fixed window, fixed stride, trailing overlap so no
+    span is lost at a boundary — the complement of ``pack_sequences``,
+    which concatenates SHORT docs). Per doc: windows start at 0, S, 2S, …
+    and the count is ``ceil(max(L-W, 0)/S) + 1``, so a doc shorter than
+    one window still yields exactly one chunk and the final chunk may run
+    short. Purely per-doc — a flat-map batch stage with no shuffle; chunk
+    assembly is a NumPy repeat/arange over the batch (no per-chunk Python),
+    only the unavoidable per-row substring slicing touches Python strings."""
+
+    W, S = CHUNK_WINDOW, CHUNK_STRIDE
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ids = batch["doc_id"].to_numpy()
+        lens = np.array([len(t) for t in texts], dtype=np.int64)
+        n_chunks = (np.maximum(lens - W, 0) + S - 1) // S + 1
+        rep_ids = np.repeat(ids, n_chunks)
+        # chunk_id runs 0..n_chunks-1 within each doc
+        ends = np.cumsum(n_chunks)
+        chunk_id = np.arange(ends[-1]) - np.repeat(ends - n_chunks, n_chunks)
+        starts = chunk_id * S
+        row = np.repeat(np.arange(len(texts)), n_chunks)
+        chunks = [texts[r][s: s + W] for r, s in zip(row, starts)]
+        return pa.table(
+            {
+                "doc_id": pa.array(rep_ids, pa.int64()),
+                "chunk_id": pa.array(chunk_id, pa.int64()),
+                "chunk_start": pa.array(starts, pa.int64()),
+                "chunk_len": pa.array([len(c) for c in chunks], pa.int64()),
+                "chunk_text": pa.array(chunks, pa.string()),
+            }
+        )
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+
+_SQL_CHUNK = f"""
+WITH n AS (SELECT g FROM range(0, 4096) t(g))
+SELECT d.doc_id,
+       n.g AS chunk_id,
+       n.g * {CHUNK_STRIDE} AS chunk_start,
+       length(substr(d.text, (n.g * {CHUNK_STRIDE})::BIGINT + 1,
+                     {CHUNK_WINDOW}))::BIGINT AS chunk_len,
+       substr(d.text, (n.g * {CHUNK_STRIDE})::BIGINT + 1,
+              {CHUNK_WINDOW}) AS chunk_text
+FROM documents d
+JOIN n ON n.g <= ((greatest(length(d.text) - {CHUNK_WINDOW}, 0)
+                   + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE})
+"""
+
+
 # -- PII scrub ---------------------------------------------------------------
 
 # RE2 patterns shared verbatim with the DuckDB oracle: BOTH Arrow's
@@ -822,6 +883,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "top_ngrams": q_top_ngrams,
     "pack_sequences": q_pack_sequences,
+    "chunk_overlap": q_chunk_overlap,
     "pii_scrub": q_pii_scrub,
     "source_stats": q_source_stats,
     "unigram_logprob": q_unigram_logprob,
@@ -1055,6 +1117,7 @@ ORACLE_SQL = {
     "decontaminate": _SQL_DECONTAMINATE,
     "top_ngrams": _SQL_TOP_NGRAMS,
     "pack_sequences": _SQL_PACK,
+    "chunk_overlap": _SQL_CHUNK,
     "gopher_quality": _sql_gopher(),
     "repetition": _SQL_REPETITION,
     "sample": _sql_sample(),

@@ -1,0 +1,132 @@
+"""URL-hygiene operators (url_dedup / domain_cap) + overlapping chunking:
+planted-collision semantics and DuckDB-oracle parity on a small corpus."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _tbl(x) -> pa.Table:
+    import ray.data as rd
+
+    if isinstance(x, rd.Dataset):
+        return pa.Table.from_pandas(x.to_pandas())
+    return x
+
+
+@pytest.fixture(scope="module")
+def url_docs_dir(tmp_path_factory):
+    """documents.parquet with a source column: 4 sources × 30 docs (4 | 100,
+    so ids 100 apart share both source and path key → canonical collisions),
+    plus
+    text lengths chosen to hit every chunking edge (shorter than one
+    window, exactly one window, one char over)."""
+    n = 120
+    texts = []
+    for i in range(n):
+        if i == 0:
+            texts.append("x" * 10)        # < one window → 1 chunk
+        elif i == 1:
+            texts.append("y" * 200)       # exactly one window → 1 chunk
+        elif i == 2:
+            texts.append("z" * 201)       # one over → 2 chunks (2nd len 51)
+        else:
+            texts.append(("w%d " % i) * (10 + i % 37))
+    d = tmp_path_factory.mktemp("urldocs")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array([f"s{i % 4}" for i in range(n)], pa.string()),
+            }
+        ),
+        os.path.join(str(d), "documents.parquet"),
+    )
+    return str(d)
+
+
+def _oracle(sf_dir, key):
+    import duckdb
+
+    from pears_lite_ray import pipelines
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(sf_dir, 'documents.parquet')}'"
+    )
+    return con.sql(pipelines.all_oracle_sql()[key]).arrow()
+
+
+def test_canonicalize_rules():
+    from pears_lite_ray.functions.urlnorm import canonicalize_urls
+
+    got = canonicalize_urls(pa.array([
+        "HTTP://WWW.Ex.Example.ORG/p/7/?utm_source=feed#top",
+        "https://ex.example.org/p/7",
+        "http://ex.example.org/p/7/",
+    ])).to_pylist()
+    assert got == ["https://ex.example.org/p/7"] * 3
+
+
+def test_url_dedup_collides_mod100_and_matches_oracle(ray_session, url_docs_dir):
+    from pears_lite_ray.pipelines.weburl import q_url_dedup
+
+    out = _tbl(q_url_dedup(url_docs_dir)).to_pandas().sort_values("doc_id")
+    gold = _oracle(url_docs_dir, "url_dedup").to_pandas().sort_values("doc_id")
+    for c in ("url", "canonical_url", "canonical_doc_id"):
+        assert (out[c].to_numpy() == gold[c].to_numpy()).all(), c
+    # path key is doc_id % 100 and source key doc_id % 4 with 4 | 100, so
+    # ids 100 apart share source AND path → same canonical → min id wins
+    byid = out.set_index("doc_id")
+    assert byid.loc[100, "canonical_doc_id"] == 0
+    assert byid.loc[100, "canonical_url"] == byid.loc[0, "canonical_url"]
+    assert byid.loc[119, "canonical_doc_id"] == 19
+    assert byid.loc[50, "canonical_doc_id"] == 50  # no id 100 apart in range
+
+
+def test_domain_cap_ranks_and_matches_oracle(ray_session, url_docs_dir):
+    from pears_lite_ray.pipelines.weburl import DOMAIN_CAP_K, q_domain_cap
+
+    out = _tbl(q_domain_cap(url_docs_dir)).to_pandas().sort_values("doc_id")
+    gold = _oracle(url_docs_dir, "domain_cap").to_pandas().sort_values("doc_id")
+    for c in ("domain", "domain_rank", "kept"):
+        assert (out[c].to_numpy() == gold[c].to_numpy()).all(), c
+    # 30 docs per domain, K kept each
+    kept = out.groupby("domain")["kept"].sum()
+    assert (kept == DOMAIN_CAP_K).all()
+    # rank is doc_id order within the domain: doc 0,4,8 → ranks 1,2,3
+    byid = out.set_index("doc_id")
+    assert list(byid.loc[[0, 4, 8], "domain_rank"]) == [1, 2, 3]
+
+
+def test_chunk_overlap_edges_and_matches_oracle(ray_session, url_docs_dir):
+    from pears_lite_ray.pipelines.textstats import q_chunk_overlap
+
+    out = (
+        _tbl(q_chunk_overlap(url_docs_dir))
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    gold = (
+        _oracle(url_docs_dir, "chunk_overlap")
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(gold)
+    for c in ("chunk_id", "chunk_start", "chunk_len", "chunk_text"):
+        assert (out[c].to_numpy() == gold[c].to_numpy()).all(), c
+    g = out.groupby("doc_id")
+    assert g.size().loc[0] == 1 and g.size().loc[1] == 1   # ≤ window → 1 chunk
+    two = out[out.doc_id == 2]
+    assert list(two.chunk_len) == [200, 51]                # 201 chars → 200+51
+    assert list(two.chunk_start) == [0, 150]
+    # overlap: chunk i+1 repeats the last 50 chars of chunk i
+    assert two.iloc[0].chunk_text[150:] == two.iloc[1].chunk_text[:50]
