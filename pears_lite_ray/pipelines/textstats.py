@@ -570,6 +570,81 @@ JOIN n ON n.g <= ((greatest(length(d.text) - {CHUNK_WINDOW}, 0)
 """
 
 
+# -- curriculum ordering -----------------------------------------------------
+
+CURRICULUM_BUCKETS = 10
+
+
+def q_curriculum_order(sf_dir: str, k: int = CURRICULUM_BUCKETS):
+    """Global length-ordered rank + equal-count buckets (curriculum
+    scheduling: train short→long). Per doc: dense global rank by
+    (n_chars, doc_id) and its ntile-of-k bucket — WITHOUT a global sort:
+
+    1. one pruned scan → groupby(n_chars) counts; the histogram (one row
+       per DISTINCT length — bounded by max doc length, not corpus size)
+       reaches the driver, is prefix-summed and broadcast via ``ray.put``;
+    2. a groupby(n_chars) ranks each equal-length group by doc_id and adds
+       the broadcast offset — global rank with only a histogram-keyed
+       shuffle of 16-byte rows.
+
+    Bucket replicates DuckDB ``ntile`` exactly (first ``N % k`` buckets
+    take the extra row). Same grouped-rank caveat as ``weburl.domain_cap``:
+    an equal-length group must fit one task; lengths are near-uniformly
+    populated so this holds far longer than domain skew does."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from .common import shuffle_partitions
+
+    hist = (
+        read_documents(sf_dir, columns=["n_chars"])
+        .groupby("n_chars", num_partitions=shuffle_partitions(sf_dir))
+        .aggregate(Count(alias_name="c"))
+        .take_all()
+    )
+    base, offs = 0, {}
+    for r in sorted(hist, key=lambda r: int(r["n_chars"])):
+        offs[int(r["n_chars"])] = base
+        base += int(r["c"])
+    n_total = base
+    q, rem = divmod(n_total, k)
+    off_ref = ray.put(offs)
+
+    def rank_group(group: pa.Table) -> pa.Table:
+        bases = ray.get(off_ref)
+        ids = group["doc_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        rank0 = np.empty(ids.size, dtype=np.int64)
+        rank0[order] = np.arange(ids.size)
+        rank0 += bases[int(group["n_chars"][0].as_py())]
+        cut = rem * (q + 1)  # ranks below cut sit in the q+1-sized buckets
+        bucket = np.where(
+            rank0 < cut, rank0 // (q + 1), rem + (rank0 - cut) // max(q, 1)
+        ) + 1
+        return pa.table(
+            {
+                "doc_id": group["doc_id"],
+                "n_chars": group["n_chars"],
+                "global_rank": pa.array(rank0 + 1, pa.int64()),
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    return (
+        read_documents(sf_dir, columns=["doc_id", "n_chars"])
+        .groupby("n_chars", num_partitions=shuffle_partitions(sf_dir))
+        .map_groups(rank_group, batch_format="pyarrow")
+    )
+
+
+_SQL_CURRICULUM = f"""
+SELECT doc_id, n_chars,
+       row_number() OVER (ORDER BY n_chars, doc_id) AS global_rank,
+       ntile({CURRICULUM_BUCKETS}) OVER (ORDER BY n_chars, doc_id) AS bucket
+FROM documents
+"""
+
+
 # -- PII scrub ---------------------------------------------------------------
 
 # RE2 patterns shared verbatim with the DuckDB oracle: BOTH Arrow's
@@ -884,6 +959,7 @@ QUERIES = {
     "top_ngrams": q_top_ngrams,
     "pack_sequences": q_pack_sequences,
     "chunk_overlap": q_chunk_overlap,
+    "curriculum_order": q_curriculum_order,
     "pii_scrub": q_pii_scrub,
     "source_stats": q_source_stats,
     "unigram_logprob": q_unigram_logprob,
@@ -1118,6 +1194,7 @@ ORACLE_SQL = {
     "top_ngrams": _SQL_TOP_NGRAMS,
     "pack_sequences": _SQL_PACK,
     "chunk_overlap": _SQL_CHUNK,
+    "curriculum_order": _SQL_CURRICULUM,
     "gopher_quality": _sql_gopher(),
     "repetition": _SQL_REPETITION,
     "sample": _sql_sample(),

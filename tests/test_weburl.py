@@ -130,3 +130,48 @@ def test_chunk_overlap_edges_and_matches_oracle(ray_session, url_docs_dir):
     assert list(two.chunk_start) == [0, 150]
     # overlap: chunk i+1 repeats the last 50 chars of chunk i
     assert two.iloc[0].chunk_text[150:] == two.iloc[1].chunk_text[:50]
+
+
+def test_curriculum_order_rank_and_ntile(ray_session, tmp_path):
+    """23 docs, k=10 → quotient 2 remainder 3: DuckDB ntile gives the first
+    3 buckets 3 rows and the rest 2 — the engine's broadcast-offset rank +
+    bucket formula must agree exactly, including equal-length tie-breaks."""
+    import duckdb
+
+    from pears_lite_ray import pipelines
+    from pears_lite_ray.pipelines.textstats import q_curriculum_order
+
+    n = 23
+    lens = [(i * 7) % 5 + 3 for i in range(n)]  # heavy length collisions
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(["x" * L for L in lens], pa.string()),
+                "n_chars": pa.array(lens, pa.int64()),
+            }
+        ),
+        os.path.join(str(tmp_path), "documents.parquet"),
+    )
+    out = (
+        _tbl(q_curriculum_order(str(tmp_path)))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(str(tmp_path), 'documents.parquet')}'"
+    )
+    gold = (
+        con.sql(pipelines.all_oracle_sql()["curriculum_order"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in ("n_chars", "global_rank", "bucket"):
+        assert (out[c].to_numpy() == gold[c].to_numpy()).all(), c
+    sizes = out.groupby("bucket").size()
+    assert list(sizes) == [3, 3, 3, 2, 2, 2, 2, 2, 2, 2]
+    assert sorted(out.global_rank) == list(range(1, n + 1))
