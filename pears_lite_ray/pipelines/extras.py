@@ -161,20 +161,47 @@ def _warm_lazy_fs_imports() -> None:
 
 # -- S7: index union ---------------------------------------------------------
 
-def _half_paths(sf_dir: str) -> tuple[str, str]:
-    """documents split by doc_id parity into two parquet files."""
-    import pyarrow.compute as pc
+def _derive_half_index(sf_dir: str, out: str, residue: int) -> None:
+    """Half-corpus (doc_id parity) index derived from the shared full-corpus
+    index: copy → tombstone the other parity → compact → filter staging.
+
+    compact() is oracle-proven equal to a fresh build over the filtered
+    corpus (the compact_bm25 entry), so this index scores exactly like one
+    built from a parity-split parquet — at a fraction of the cost (no
+    extract/tokenize/staging-write re-run). compact leaves staging
+    untouched, so the other parity's rows are filtered out afterwards: the
+    merge's staging union and doc-stats scan must see ONLY this half's
+    metadata, exactly as a fresh half-build would."""
+    import shutil
+
     import pyarrow.parquet as pq
 
-    base = _cache_dir(sf_dir, "halves")
-    pa_, pb_ = os.path.join(base, "even.parquet"), os.path.join(base, "odd.parquet")
-    if not (os.path.exists(pa_) and os.path.exists(pb_)):
-        os.makedirs(base, exist_ok=True)
-        t = pq.read_table(documents_path(sf_dir))
-        even = pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)
-        pq.write_table(t.filter(even), pa_)
-        pq.write_table(t.filter(pc.invert(even)), pb_)
-    return pa_, pb_
+    from ..index.maintenance import compact, delete_doc_ids
+    from .fulltext import docs_index_dir
+
+    marker = os.path.join(out, "HALF_COMPLETE")
+    if os.path.exists(marker):
+        return
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.copytree(docs_index_dir(sf_dir), out)
+    shutil.rmtree(os.path.join(out, "pods"), ignore_errors=True)  # unused here
+    tomb = os.path.join(out, "tombstones.json")
+    if os.path.exists(tomb):
+        os.remove(tomb)
+    ids = pq.read_table(documents_path(sf_dir), columns=["doc_id"])["doc_id"].to_numpy()
+    delete_doc_ids(out, ids[ids % 2 != residue])
+    compact(out, BuildConfig(out_dir=out, tokenizer="regex", vocab_path=None))
+    stag = os.path.join(out, "staging")
+    for f in os.listdir(stag):
+        if not f.endswith(".parquet"):
+            continue
+        fp = os.path.join(stag, f)
+        t = pq.read_table(fp)
+        keep = (t["doc_id"].to_numpy() % 2) == residue
+        pq.write_table(t.filter(pa.array(keep)), fp + ".tmp")
+        os.replace(fp + ".tmp", fp)
+    with open(marker, "w") as f:
+        f.write("done")
 
 
 def _bm25_rows(index_dir: str) -> pa.Table:
@@ -199,26 +226,21 @@ def _bm25_rows(index_dir: str) -> pa.Table:
 
 
 def q_merge_bm25(sf_dir: str):
-    """Union of two independently-built half-corpus indexes (S7), validated
-    by scoring: merged BM25 == the full-corpus SQL oracle."""
-    from ..index.build import build_index
+    """Union of two half-corpus indexes (S7), validated by scoring: merged
+    BM25 == the full-corpus SQL oracle. The halves derive from the shared
+    full index via tombstone+compact (`_derive_half_index`) — score-exact
+    vs fresh half-builds, per the compact_bm25 oracle. NOTE: derivations
+    run SEQUENTIALLY on purpose — two concurrent Ray pipelines from driver
+    threads over-reserve the cluster's CPUs (fixed actor pools + shuffle
+    aggregator actors) and deadlock the read tasks (see
+    memory/ray-sandbox-perf-facts)."""
     from ..index.merge import merge_indexes
 
-    pa_, pb_ = _half_paths(sf_dir)
     ia, ib = _cache_dir(sf_dir, "idx-even"), _cache_dir(sf_dir, "idx-odd")
     im = _cache_dir(sf_dir, "idx-merged")
-    # NOTE: the two half-builds run SEQUENTIALLY on purpose. Running them
-    # from two driver threads deadlocks: each build sizes a FIXED actor
-    # pool of (CPUs - 2) plus hash-shuffle aggregator actors, so two
-    # concurrent pipelines over-reserve the cluster and neither's read
-    # tasks can schedule (same failure mode as two min-sized pools in one
-    # pipeline — see memory/ray-sandbox-perf-facts).
     _warm_lazy_fs_imports()
-    for paths, d in ((pa_, ia), (pb_, ib)):
-        if not os.path.exists(os.path.join(d, "stats.json")):
-            build_index([paths], BuildConfig(out_dir=d, tokenizer="regex",
-                                             vocab_path=None,
-                                             extra={"skip_pods": True}))
+    _derive_half_index(sf_dir, ia, residue=0)
+    _derive_half_index(sf_dir, ib, residue=1)
     if not os.path.exists(os.path.join(im, "stats.json")):
         merge_indexes(ia, ib, im, BuildConfig(out_dir=im, tokenizer="regex",
                                               vocab_path=None))
