@@ -52,8 +52,9 @@ def q_quality(sf_dir: str):
     """Quality-score components per doc (vectorizable per batch)."""
 
     def score(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         toks, counts = tokens_per_row(batch)
-        texts = batch["text"].to_pylist()
         n_types, n_stop, tok_chars = [], [], []
         for words in toks:
             n_types.append(len(set(words)))
@@ -64,7 +65,7 @@ def q_quality(sf_dir: str):
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+                "n_chars": pc.utf8_length(batch["text"]).cast(pa.int64()),
                 "n_tokens": pa.array(counts, pa.int64()),
                 "n_types": pa.array(n_types, pa.int64()),
                 "stop_ratio": pa.array(
@@ -82,20 +83,22 @@ def q_quality(sf_dir: str):
 
 
 def q_token_count(sf_dir: str):
-    """Whitespace-word and BPE-ish-subtoken counts per doc."""
-    import re
-
-    bpe = re.compile(BPE_RE)
+    """Whitespace-word and BPE-ish-subtoken counts per doc — fully
+    vectorized Arrow RE2 count kernels (the DuckDB oracle's
+    regexp_extract_all is RE2 too, so the engines share one regex
+    dialect; round-2's Python re loop could diverge on exotic
+    whitespace classes)."""
+    import pyarrow.compute as pc
 
     def count(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        ws = [len(t.split()) for t in texts]
-        sub = [len(bpe.findall(t.lower())) for t in texts]
+        text = batch["text"]
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "n_ws_tokens": pa.array(ws, pa.int64()),
-                "n_bpe_tokens": pa.array(sub, pa.int64()),
+                "n_ws_tokens": pc.count_substring_regex(text, r"\S+").cast(pa.int64()),
+                "n_bpe_tokens": pc.count_substring_regex(
+                    pc.utf8_lower(text), BPE_RE
+                ).cast(pa.int64()),
             }
         )
 
