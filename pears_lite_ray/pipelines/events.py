@@ -337,15 +337,101 @@ def q_value_quantiles(sf_dir: str):
     )
 
 
+Z_OUTLIER = 3.0
+
+
+def q_event_zscore(sf_dir: str):
+    """Per-event z-score against its type's population moments + an
+    |z| > 3 outlier flag — the broadcast-aggregate anomaly-detection
+    shape: one per-batch partial (type, n, Σv, Σv²) combine, the tiny
+    per-type table (bounded by #event types, not corpus size) reduced on
+    the driver and broadcast via ``ray.put``, then one streamed pass
+    computes z per event. No shuffle of event rows at all."""
+    import pyarrow.compute as pc
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"]
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "v": v,
+                "v2": pc.multiply(v, v),
+            }
+        )
+        g = pa.TableGroupBy(t, "event_type").aggregate(
+            [("v", "count"), ("v", "sum"), ("v2", "sum")]
+        )
+        return g.replace_schema_metadata(None)
+
+    parts = (
+        rd.read_parquet(events_path(sf_dir), columns=["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .take_all()
+    )  # bounded: (#types × #blocks) tiny partial rows
+    acc: dict[str, list[float]] = {}
+    for r in parts:
+        a = acc.setdefault(r["event_type"], [0.0, 0.0, 0.0])
+        a[0] += r["v_count"]
+        a[1] += r["v_sum"]
+        a[2] += r["v2_sum"]
+    moments = {
+        k: (s / n, ((s2 / n) - (s / n) ** 2) ** 0.5)
+        for k, (n, s, s2) in acc.items()
+    }
+    mom_ref = ray.put(moments)
+
+    def zscore(batch: pa.Table) -> pa.Table:
+        mom = ray.get(mom_ref)
+        types = batch["event_type"].to_pylist()
+        v = batch["value"].to_numpy()
+        m = np.array([mom[t][0] for t in types])
+        sd = np.array([mom[t][1] for t in types])
+        z = round6((v - m) / sd)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "value": batch["value"],
+                "z": pa.array(z, pa.float64()),
+                "is_outlier": pa.array(np.abs(z) > Z_OUTLIER, pa.bool_()),
+            }
+        )
+
+    return rd.read_parquet(
+        events_path(sf_dir), columns=["event_id", "event_type", "value"]
+    ).map_batches(zscore, batch_format="pyarrow")
+
+
+# population stddev via the sum-of-squares identity so both sides share
+# the formula (DuckDB's stddev_pop uses a different — numerically stable —
+# accumulation whose last-ulp could flip a 6dp rounding boundary)
+_SQL_ZSCORE = f"""
+WITH s AS (
+  SELECT event_type,
+         avg(value) AS m,
+         sqrt(sum(value * value) / count(*)
+              - (sum(value) / count(*)) * (sum(value) / count(*))) AS sd
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       round((e.value - s.m) / s.sd, 6) AS z,
+       (abs(round((e.value - s.m) / s.sd, 6)) > {Z_OUTLIER}) AS is_outlier
+FROM events e JOIN s USING (event_type)
+"""
+
+
 QUERIES = {
     "windowed_events": q_windowed_events,
     "user_sessions": q_user_sessions,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "value_quantiles": q_value_quantiles,
+    "event_zscore": q_event_zscore,
 }
 
 ORACLE_SQL = {
+    "event_zscore": _SQL_ZSCORE,
     # deterministic as-of: window-ranked left join rather than DuckDB's
     # ASOF JOIN, whose pick among equal click timestamps is unspecified —
     # the rank order (ts DESC, event_id DESC) pins the same winner the

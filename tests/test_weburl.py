@@ -175,3 +175,54 @@ def test_curriculum_order_rank_and_ntile(ray_session, tmp_path):
     sizes = out.groupby("bucket").size()
     assert list(sizes) == [3, 3, 3, 2, 2, 2, 2, 2, 2, 2]
     assert sorted(out.global_rank) == list(range(1, n + 1))
+
+
+def test_event_zscore_flags_planted_outlier(ray_session, tmp_path):
+    """One value far outside its type's distribution must flag, and every
+    z must match the DuckDB sum-of-squares oracle exactly at 6dp."""
+    import duckdb
+
+    from pears_lite_ray import pipelines
+    from pears_lite_ray.pipelines.events import q_event_zscore
+
+    n = 400
+    vals = [50.0 + (i % 21) - 10 for i in range(n)]   # tight band around 50
+    vals[7] = 5000.0                                  # planted outlier
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(
+                    np.arange(n) * 1_000_000, pa.int64()
+                ).cast(pa.timestamp("us")),
+                "user_id": pa.array([i % 13 for i in range(n)], pa.int64()),
+                "event_type": pa.array(
+                    ["click" if i % 2 else "view" for i in range(n)], pa.string()
+                ),
+                "value": pa.array(vals, pa.float64()),
+            }
+        ),
+        os.path.join(str(tmp_path), "events.parquet"),
+    )
+    out = (
+        _tbl(q_event_zscore(str(tmp_path)))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{os.path.join(str(tmp_path), 'events.parquet')}'"
+    )
+    gold = (
+        con.sql(pipelines.all_oracle_sql()["event_zscore"])
+        .df()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert (out["z"].to_numpy() == gold["z"].to_numpy()).all()
+    assert (out["is_outlier"].to_numpy() == gold["is_outlier"].to_numpy()).all()
+    byid = out.set_index("event_id")
+    assert bool(byid.loc[7, "is_outlier"])
+    assert int(out["is_outlier"].sum()) == 1
