@@ -40,10 +40,13 @@ def _staging_partitions(*dirs: str) -> int:
     total = 0
     for d in dirs:
         p = os.path.join(d, "staging")
-        if os.path.isdir(p):
+        # walk RECURSIVELY: the build writes per-wave subdirectories
+        # (staging/wave-<id>/*.parquet) — a flat listdir sees zero bytes
+        # and silently collapses the shuffle to its floor partition count
+        for root, _, files in os.walk(p):
             total += sum(
-                os.path.getsize(os.path.join(p, f))
-                for f in os.listdir(p) if f.endswith(".parquet")
+                os.path.getsize(os.path.join(root, f))
+                for f in files if f.endswith(".parquet")
             )
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
     return int(max(8, min(total // (64 << 20), 4 * cpus)))

@@ -161,6 +161,16 @@ def _warm_lazy_fs_imports() -> None:
 
 # -- S7: index union ---------------------------------------------------------
 
+def _staging_files(staging_dir: str) -> list[str]:
+    """All staging parquet fragments, RECURSIVELY: the build writes per-wave
+    subdirectories (staging/wave-<id>/*.parquet), so a flat listdir silently
+    misses every fragment."""
+    out = []
+    for root, _, files in os.walk(staging_dir):
+        out.extend(os.path.join(root, f) for f in files if f.endswith(".parquet"))
+    return sorted(out)
+
+
 def _derive_half_index(sf_dir: str, out: str, residue: int) -> None:
     """Half-corpus (doc_id parity) index derived from the shared full-corpus
     index: copy → tombstone the other parity → compact → filter staging.
@@ -191,11 +201,7 @@ def _derive_half_index(sf_dir: str, out: str, residue: int) -> None:
     ids = pq.read_table(documents_path(sf_dir), columns=["doc_id"])["doc_id"].to_numpy()
     delete_doc_ids(out, ids[ids % 2 != residue])
     compact(out, BuildConfig(out_dir=out, tokenizer="regex", vocab_path=None))
-    stag = os.path.join(out, "staging")
-    for f in os.listdir(stag):
-        if not f.endswith(".parquet"):
-            continue
-        fp = os.path.join(stag, f)
+    for fp in _staging_files(os.path.join(out, "staging")):
         t = pq.read_table(fp)
         keep = (t["doc_id"].to_numpy() % 2) == residue
         pq.write_table(t.filter(pa.array(keep)), fp + ".tmp")
@@ -339,22 +345,41 @@ N_PODS = 4
 
 
 def _pods_index(sf_dir: str) -> str:
-    """Index over documents with a synthetic pod column (doc_id % 4)."""
+    """Index over documents with a synthetic pod column (doc_id % 4).
+
+    Derived from the shared full-corpus index instead of rebuilding: the
+    pod column is query-routing METADATA — same text, same tokenizer, same
+    doc_ids ⇒ byte-identical segments/stats — so only the staging 'pod'
+    column is rewritten (doc_id parity classes replace the 'home' default)
+    and the pods centroid table is rebuilt over it, exactly the job
+    build_index runs for a pod-carrying corpus."""
+    import shutil
+
     import pyarrow.parquet as pq
 
-    from ..index.build import build_index
+    from ..index.pods import build_pods_table
+    from .fulltext import docs_index_dir
 
     out = _cache_dir(sf_dir, "idx-pods")
-    if not os.path.exists(os.path.join(out, "stats.json")):
-        src = _cache_dir(sf_dir, "pods-src") + ".parquet"
-        os.makedirs(os.path.dirname(src), exist_ok=True)
-        t = pq.read_table(documents_path(sf_dir))
-        pods = [f"pod{int(d) % N_PODS}" for d in t["doc_id"].to_numpy()]
-        pq.write_table(
-            t.append_column("pod", pa.array(pods, pa.string())), src
+    marker = os.path.join(out, "PODS_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.copytree(docs_index_dir(sf_dir), out)
+        shutil.rmtree(os.path.join(out, "pods"), ignore_errors=True)
+        for fp in _staging_files(os.path.join(out, "staging")):
+            t = pq.read_table(fp)
+            pods = pa.array(
+                [f"pod{int(d) % N_PODS}" for d in t["doc_id"].to_numpy()],
+                pa.string(),
+            )
+            t = t.set_column(t.schema.get_field_index("pod"), "pod", pods)
+            pq.write_table(t, fp + ".tmp")
+            os.replace(fp + ".tmp", fp)
+        build_pods_table(
+            BuildConfig(out_dir=out, tokenizer="regex", vocab_path=None), None
         )
-        build_index([src], BuildConfig(out_dir=out, tokenizer="regex",
-                                       vocab_path=None))
+        with open(marker, "w") as f:
+            f.write("done")
     return out
 
 
