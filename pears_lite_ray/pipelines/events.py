@@ -337,6 +337,88 @@ def q_value_quantiles(sf_dir: str):
     )
 
 
+SLIDE_US = 900_000_000          # 15-min slide; window = WINDOW_US (1 h)
+SLIDE_REPLICAS = WINDOW_US // SLIDE_US  # each event lands in exactly 4 windows
+
+
+def q_sliding_window(sf_dir: str):
+    """SLIDING 1-hour windows every 15 min per event_type (the hopping
+    variant of ``windowed_events``' tumbling windows — the
+    out-of-order-stream aggregation shape: replicate-to-window is order-
+    free, so late events need no special path). Each event belongs to
+    exactly ``window/slide = 4`` windows; the per-batch partial replicates
+    rows with ``np.repeat``, pre-collapses per (window, type), and only the
+    collapsed partials shuffle — never 4× the raw events."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy()
+        base = (ts // SLIDE_US) * SLIDE_US
+        k = np.arange(SLIDE_REPLICAS, dtype=np.int64)
+        win = (base[:, None] - k[None, :] * SLIDE_US).reshape(-1)
+        types = np.repeat(
+            np.asarray(batch["event_type"].to_pylist(), dtype=object),
+            SLIDE_REPLICAS,
+        )
+        vals = np.repeat(batch["value"].to_numpy(), SLIDE_REPLICAS)
+        t = pa.table(
+            {
+                "window_start": pa.array(win, pa.int64()),
+                "event_type": pa.array(list(types), pa.string()),
+                "value": pa.array(vals, pa.float64()),
+            }
+        )
+        g = pa.TableGroupBy(t, ["window_start", "event_type"]).aggregate(
+            [("value", "count"), ("value", "sum")]
+        )
+        g = g.rename_columns(
+            ["cnt" if c == "value_count" else "sv" if c == "value_sum" else c
+             for c in g.column_names]
+        )
+        return g.replace_schema_metadata(None)
+
+    def finalize(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "window_start": pa.array(
+                    [int(group["window_start"][0].as_py())], pa.timestamp("us")
+                ),
+                "event_type": pa.array(
+                    [group["event_type"][0].as_py()], pa.string()
+                ),
+                "n_events": pa.array(
+                    [int(pc.sum(group["cnt"]).as_py())], pa.int64()
+                ),
+                "sum_value": pa.array(
+                    [float(round6(pc.sum(group["sv"]).as_py()))], pa.float64()
+                ),
+            }
+        )
+
+    return (
+        rd.read_parquet(events_path(sf_dir),
+                        columns=["ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .map_groups(finalize, batch_format="pyarrow")
+    )
+
+
+_SQL_SLIDING = f"""
+WITH r AS (
+  SELECT make_timestamp((epoch_us(ts) // {SLIDE_US} - t.g) * {SLIDE_US})
+           AS window_start,
+         event_type, value
+  FROM events, range(0, {SLIDE_REPLICAS}) t(g)
+)
+SELECT window_start, event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM r GROUP BY window_start, event_type
+"""
+
+
 Z_OUTLIER = 3.0
 
 
@@ -428,10 +510,12 @@ QUERIES = {
     "range_join": q_range_join,
     "value_quantiles": q_value_quantiles,
     "event_zscore": q_event_zscore,
+    "sliding_window": q_sliding_window,
 }
 
 ORACLE_SQL = {
     "event_zscore": _SQL_ZSCORE,
+    "sliding_window": _SQL_SLIDING,
     # deterministic as-of: window-ranked left join rather than DuckDB's
     # ASOF JOIN, whose pick among equal click timestamps is unspecified —
     # the rank order (ts DESC, event_id DESC) pins the same winner the

@@ -226,3 +226,58 @@ def test_event_zscore_flags_planted_outlier(ray_session, tmp_path):
     byid = out.set_index("event_id")
     assert bool(byid.loc[7, "is_outlier"])
     assert int(out["is_outlier"].sum()) == 1
+
+
+def test_sliding_window_replicas_and_oracle(ray_session, tmp_path):
+    """Every event must land in exactly 4 hopping windows (1h window,
+    15-min slide) and the per-window aggregates must match the DuckDB
+    replicate-and-group oracle exactly."""
+    import duckdb
+
+    from pears_lite_ray import pipelines
+    from pears_lite_ray.pipelines.events import q_sliding_window
+
+    n = 300
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(
+                    (np.arange(n, dtype=np.int64) * 61_000_000
+                     + 3_600_000_000),
+                    pa.int64(),
+                ).cast(pa.timestamp("us")),
+                "user_id": pa.array([i % 9 for i in range(n)], pa.int64()),
+                "event_type": pa.array(
+                    ["click" if i % 3 else "view" for i in range(n)],
+                    pa.string(),
+                ),
+                "value": pa.array(
+                    [float((i * 13) % 97) for i in range(n)], pa.float64()
+                ),
+            }
+        ),
+        os.path.join(str(tmp_path), "events.parquet"),
+    )
+    out = (
+        _tbl(q_sliding_window(str(tmp_path)))
+        .to_pandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{os.path.join(str(tmp_path), 'events.parquet')}'"
+    )
+    gold = (
+        con.sql(pipelines.all_oracle_sql()["sliding_window"])
+        .df()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(gold)
+    for c in ("n_events", "sum_value"):
+        assert (out[c].to_numpy() == gold[c].to_numpy()).all(), c
+    # replication invariant: total window-events = 4 x raw events
+    assert int(out["n_events"].sum()) == 4 * n
