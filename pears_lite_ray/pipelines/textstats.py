@@ -440,6 +440,76 @@ def q_top_ngrams(sf_dir: str):
     )
 
 
+TOP_TERMS_PER_SOURCE = 5
+
+
+def q_source_top_terms(sf_dir: str, k: int = TOP_TERMS_PER_SOURCE):
+    """Grouped heavy hitters: the top-k terms of EACH source under the
+    (count desc, term asc) contract — the per-group variant of
+    ``top_ngrams`` (corpus-composition reporting: what does each source
+    talk about). Partial (source, term) counts per batch, a data-sized
+    groupby-sum on the composite key, then a groupby(source) top-k whose
+    groups hold one row per distinct term (already collapsed) — only
+    k rows per source leave the final stage."""
+    from ray.data.aggregate import Sum
+
+    from .common import shuffle_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks, _ = tokens_per_row(batch)
+        srcs = batch["source"].to_pylist()
+        counts: dict[tuple[str, str], int] = {}
+        for s, words in zip(srcs, toks):
+            for w in words:
+                counts[(s, w)] = counts.get((s, w), 0) + 1
+        keys = sorted(counts)
+        return pa.table(
+            {
+                "source": pa.array([kk[0] for kk in keys], pa.string()),
+                "term": pa.array([kk[1] for kk in keys], pa.string()),
+                "c_p": pa.array([counts[kk] for kk in keys], pa.int64()),
+            }
+        )
+
+    def topk(group: pa.Table) -> pa.Table:
+        cnt = group["cnt"].to_numpy()
+        terms = np.asarray(group["term"].to_pylist(), dtype=object)
+        order = np.lexsort((terms, -cnt))[:k]
+        return pa.table(
+            {
+                "source": pa.array(
+                    [group["source"][0].as_py()] * len(order), pa.string()
+                ),
+                "term": pa.array(list(terms[order]), pa.string()),
+                "cnt": pa.array(cnt[order], pa.int64()),
+                "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            }
+        )
+
+    return (
+        read_documents(sf_dir, columns=["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "term"], num_partitions=shuffle_partitions(sf_dir))
+        .aggregate(Sum("c_p", alias_name="cnt"))
+        .groupby("source")
+        .map_groups(topk, batch_format="pyarrow")
+    )
+
+
+_SQL_SOURCE_TOP_TERMS_T = """
+WITH tok AS (SELECT source, unnest({tokens}) AS term FROM documents),
+c AS (SELECT source, term, count(*) AS cnt FROM tok GROUP BY source, term),
+r AS (SELECT source, term, cnt,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY cnt DESC, term) AS rank
+      FROM c)
+SELECT source, term, cnt::BIGINT AS cnt, rank
+FROM r WHERE rank <= {k}
+"""
+_SQL_SOURCE_TOP_TERMS = _SQL_SOURCE_TOP_TERMS_T.format(
+    tokens=SQL_TOKENS, k=TOP_TERMS_PER_SOURCE)
+
+
 PACK_SEQ_LEN = 512   # training-sequence token budget
 PACK_BUCKET = 128    # doc_ids per offset bucket (small here to exercise the
                      # multi-bucket path; a real corpus sizes this so bucket
@@ -963,6 +1033,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "chunk_overlap": q_chunk_overlap,
     "curriculum_order": q_curriculum_order,
+    "source_top_terms": q_source_top_terms,
     "pii_scrub": q_pii_scrub,
     "source_stats": q_source_stats,
     "unigram_logprob": q_unigram_logprob,
@@ -1198,6 +1269,7 @@ ORACLE_SQL = {
     "pack_sequences": _SQL_PACK,
     "chunk_overlap": _SQL_CHUNK,
     "curriculum_order": _SQL_CURRICULUM,
+    "source_top_terms": _SQL_SOURCE_TOP_TERMS,
     "gopher_quality": _sql_gopher(),
     "repetition": _SQL_REPETITION,
     "sample": _sql_sample(),

@@ -281,3 +281,37 @@ def test_sliding_window_replicas_and_oracle(ray_session, tmp_path):
         assert (out[c].to_numpy() == gold[c].to_numpy()).all(), c
     # replication invariant: total window-events = 4 x raw events
     assert int(out["n_events"].sum()) == 4 * n
+
+
+def test_source_top_terms_grouped_topk(ray_session, url_docs_dir):
+    """Per-source top-k under (count desc, term asc): matches the DuckDB
+    window-ranked oracle and the planted repetition dominates its source."""
+    import duckdb
+
+    from pears_lite_ray import pipelines
+    from pears_lite_ray.pipelines.textstats import (
+        TOP_TERMS_PER_SOURCE,
+        q_source_top_terms,
+    )
+
+    out = (
+        _tbl(q_source_top_terms(url_docs_dir))
+        .to_pandas()
+        .sort_values(["source", "rank"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(url_docs_dir, 'documents.parquet')}'"
+    )
+    gold = (
+        con.sql(pipelines.all_oracle_sql()["source_top_terms"])
+        .df()
+        .sort_values(["source", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(gold)
+    for c in ("source", "term", "cnt", "rank"):
+        assert (out[c].to_numpy() == gold[c].to_numpy()).all(), c
+    assert (out.groupby("source").size() <= TOP_TERMS_PER_SOURCE).all()
