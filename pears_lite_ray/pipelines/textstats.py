@@ -337,6 +337,65 @@ def q_sample(sf_dir: str):
     )
 
 
+WEIGHTED_SAMPLE_K = 25
+
+
+def q_weighted_sample(sf_dir: str, k: int = WEIGHTED_SAMPLE_K):
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006):
+    each doc draws a deterministic uniform u ∈ (0, 1] (same multiplicative
+    splitmix draw as ``sample``, offset by 1 so u is never 0) and gets key
+    ``ln(u) / weight`` with weight = n_chars (the longer-docs-more-likely
+    quality-weighted subsampling shape); the k largest keys ARE a
+    weight-proportional without-replacement sample. One streamed pass
+    computes keys, then a distributed sort + limit — only k rows leave.
+    Keys round to 6dp BEFORE ranking on both sides (with a doc_id
+    tie-break) so a last-ulp ``ln`` difference between libms cannot flip
+    the selection."""
+
+    def keys(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        w = batch["n_chars"].to_numpy().astype(np.float64)
+        with np.errstate(over="ignore"):
+            h = ids.astype(np.uint64) * np.uint64(_SAMPLE_MULT) + np.uint64(1)
+        u = h.astype(np.float64) / float(1 << 64)
+        key = round6(np.log(u) / w)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": batch["n_chars"],
+                "u": pa.array(u, pa.float64()),
+                "key": pa.array(key, pa.float64()),
+            }
+        )
+
+    top = (
+        read_documents(sf_dir, columns=["doc_id", "n_chars"])
+        .map_batches(keys, batch_format="pyarrow")
+        .sort(["key", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+    t = pa.Table.from_pandas(top.to_pandas())  # k rows — driver-small
+    return t.append_column(
+        "rank", pa.array(np.arange(1, t.num_rows + 1), pa.int64())
+    )
+
+
+_SQL_WEIGHTED_SAMPLE = f"""
+WITH h AS (
+  SELECT doc_id, n_chars,
+         ((doc_id::HUGEINT * {_SAMPLE_MULT} + 1) % 18446744073709551616)
+           ::UBIGINT::DOUBLE / 18446744073709551616.0 AS u
+  FROM documents
+),
+kk AS (SELECT doc_id, n_chars, u, round(ln(u) / n_chars, 6) AS key FROM h),
+r AS (SELECT doc_id, n_chars, u, key,
+             row_number() OVER (ORDER BY key DESC, doc_id) AS rank
+      FROM kk)
+SELECT doc_id, n_chars, u, key, rank
+FROM r WHERE rank <= {WEIGHTED_SAMPLE_K}
+"""
+
+
 DECONTAM_NGRAM = 5
 DECONTAM_BENCH_MOD = 97  # doc_id % 97 == 0 rows act as the held-out benchmark
 
@@ -1034,6 +1093,7 @@ QUERIES = {
     "chunk_overlap": q_chunk_overlap,
     "curriculum_order": q_curriculum_order,
     "source_top_terms": q_source_top_terms,
+    "weighted_sample": q_weighted_sample,
     "pii_scrub": q_pii_scrub,
     "source_stats": q_source_stats,
     "unigram_logprob": q_unigram_logprob,
@@ -1270,6 +1330,7 @@ ORACLE_SQL = {
     "chunk_overlap": _SQL_CHUNK,
     "curriculum_order": _SQL_CURRICULUM,
     "source_top_terms": _SQL_SOURCE_TOP_TERMS,
+    "weighted_sample": _SQL_WEIGHTED_SAMPLE,
     "gopher_quality": _sql_gopher(),
     "repetition": _SQL_REPETITION,
     "sample": _sql_sample(),

@@ -42,6 +42,7 @@ def url_docs_dir(tmp_path_factory):
                 "doc_id": pa.array(range(n), pa.int64()),
                 "text": pa.array(texts, pa.string()),
                 "lang": pa.array(["en"] * n, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
                 "source": pa.array([f"s{i % 4}" for i in range(n)], pa.string()),
             }
         ),
@@ -315,3 +316,40 @@ def test_source_top_terms_grouped_topk(ray_session, url_docs_dir):
     for c in ("source", "term", "cnt", "rank"):
         assert (out[c].to_numpy() == gold[c].to_numpy()).all(), c
     assert (out.groupby("source").size() <= TOP_TERMS_PER_SOURCE).all()
+
+
+def test_weighted_sample_without_replacement(ray_session, url_docs_dir):
+    """Efraimidis-Spirakis selection matches the DuckDB ln(u)/w oracle
+    exactly, the output has no repeats, and heavier docs are favored: the
+    selected docs' mean weight exceeds the corpus mean."""
+    import duckdb
+
+    from pears_lite_ray import pipelines
+    from pears_lite_ray.pipelines.textstats import (
+        WEIGHTED_SAMPLE_K,
+        q_weighted_sample,
+    )
+
+    out = (
+        _tbl(q_weighted_sample(url_docs_dir))
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(url_docs_dir, 'documents.parquet')}'"
+    )
+    gold = (
+        con.sql(pipelines.all_oracle_sql()["weighted_sample"])
+        .df()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(gold) == WEIGHTED_SAMPLE_K
+    for c in ("doc_id", "n_chars", "u", "key", "rank"):
+        assert (out[c].to_numpy() == gold[c].to_numpy()).all(), c
+    assert out["doc_id"].is_unique
+    corpus_mean = con.sql("SELECT avg(n_chars) FROM documents").fetchone()[0]
+    assert out["n_chars"].mean() > corpus_mean
