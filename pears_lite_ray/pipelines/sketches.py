@@ -764,12 +764,108 @@ LEFT JOIN agg a ON a.doc_id = d.doc_id
 LEFT JOIN ex e ON e.doc_id = d.doc_id"""
 
 
+QSK_BUCKET = 256   # event_id bucket width — deterministic sub-streams
+QSK_S = 32         # order statistics kept per bucket (rank error ≤ n_b/S)
+
+
+def q_quantile_sketch(sf_dir: str):
+    """MERGEABLE approximate quantiles (p50/p90/p99 of ``value`` per
+    event_type) for UNBOUNDED value domains — the sketch counterpart that
+    ``events.q_value_quantiles`` names as the scale path when the
+    distinct-value histogram trick stops fitting.
+
+    Sub-streams are bucketed by ``event_id // QSK_BUCKET`` — a
+    DETERMINISTIC key, so the sketch is identical at any parallelism
+    (sampling per Ray block would drift with block boundaries). Each
+    bucket keeps ``QSK_S`` segment-midpoint order statistics, each
+    carrying its segment's EXACT INTEGER count, so merged cumulative
+    weights are integer-exact — no float-sum order sensitivity. The
+    per-type merge sorts the union by value and picks
+    the smallest sample with cumweight ≥ ceil(p·N), the same discrete
+    rule as the exact operator; total rank error ≤ Σ n_b/S ≈ N/QSK_S.
+    Rows-only entry (approximate by design); pytest asserts exactness in
+    the small-bucket regime and the rank-error bound in the large."""
+    import ray.data as rd
+
+    from .common import shuffle_partitions
+    from .events import events_path
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy()
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "bucket": pa.array(ids // QSK_BUCKET, pa.int64()),
+                "value": batch["value"],
+            }
+        )
+
+    def bucket_sketch(group: pa.Table) -> pa.Table:
+        v = np.sort(group["value"].to_numpy())
+        n = v.size
+        if n <= QSK_S:
+            samp, w = v, np.ones(n, dtype=np.int64)
+        else:
+            # segment-ALIGNED integer weights: sample i is the midpoint
+            # order statistic of ranks [⌊in/S⌋, ⌊(i+1)n/S⌋) and carries
+            # exactly that segment's count. (Assigning the n%S remainder
+            # to the first samples instead skews the merged cumulative
+            # mass low — measured 177-rank p50 error vs ~10 aligned.)
+            lo = (np.arange(QSK_S) * n) // QSK_S
+            hi = (np.arange(1, QSK_S + 1) * n) // QSK_S
+            samp = v[(lo + hi) // 2]
+            w = (hi - lo).astype(np.int64)
+        s = samp.size
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [group["event_type"][0].as_py()] * s, pa.string()
+                ),
+                "value": pa.array(samp, pa.float64()),
+                "weight": pa.array(w, pa.int64()),
+            }
+        )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        v = group["value"].to_numpy()
+        w = group["weight"].to_numpy()
+        order = np.argsort(v, kind="stable")
+        v, w = v[order], w[order]
+        cw = np.cumsum(w)
+        n = int(cw[-1])
+        qs = [v[np.searchsorted(cw, -(-(p * n) // 1), side="left")]
+              for p in (0.5, 0.9, 0.99)]
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [group["event_type"][0].as_py()], pa.string()
+                ),
+                "n_events": pa.array([n], pa.int64()),
+                "p50_est": pa.array([qs[0]], pa.float64()),
+                "p90_est": pa.array([qs[1]], pa.float64()),
+                "p99_est": pa.array([qs[2]], pa.float64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(events_path(sf_dir),
+                        columns=["event_id", "event_type", "value"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby(["event_type", "bucket"],
+                 num_partitions=shuffle_partitions(sf_dir))
+        .map_groups(bucket_sketch, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(finalize, batch_format="pyarrow")
+    )
+
+
 QUERIES = {
     "hll_distinct": q_hll_distinct,
     "cms_ngrams": q_cms_ngrams,
     "bloom_decontaminate": q_bloom_decontaminate,
     "dsir_weights": q_dsir_weights,
     "tfidf_keywords": q_tfidf_keywords,
+    "quantile_sketch": q_quantile_sketch,
 }
 
 ORACLE_SQL = {

@@ -241,3 +241,84 @@ def test_tfidf_planted_keywords_rank_first(ray_session, tmp_path):
         rows = sorted((r["rank"], r["tfidf"]) for r in out if r["doc_id"] == d)
         assert [k for k, _ in rows] == [1, 2, 3]
         assert all(rows[i][1] >= rows[i + 1][1] for i in range(len(rows) - 1))
+
+
+def test_quantile_sketch_exact_small_and_bounded_large(ray_session, tmp_path):
+    """Small-bucket regime (every (type, bucket) holds <= S events): the
+    sketch IS exact — equal to the exact-quantile operator. Large regime
+    (one type, 8000 events in ~31 buckets): rank error of each estimate
+    stays within N/S + #buckets."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pears_lite_ray.pipelines.events import q_value_quantiles
+    from pears_lite_ray.pipelines.sketches import QSK_BUCKET, QSK_S, q_quantile_sketch
+
+    def _t(x):
+        import ray.data as rd
+
+        return pa.Table.from_pandas(x.to_pandas()) if isinstance(x, rd.Dataset) else x
+
+    # --- small regime: sparse event_ids (x16) put ~16 events in each
+    # id-bucket, 8 per type — under S=32, so the sketch keeps every value
+    n = 960
+    rng = np.random.RandomState(7)
+    small = tmp_path / "small"
+    small.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([i * 16 for i in range(n)], pa.int64()),
+                "ts": pa.array(np.arange(n) * 1000, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "user_id": pa.array([i % 7 for i in range(n)], pa.int64()),
+                "event_type": pa.array(
+                    ["a" if i % 2 else "b" for i in range(n)], pa.string()
+                ),
+                "value": pa.array(
+                    np.round(rng.exponential(40.0, n), 2), pa.float64()
+                ),
+            }
+        ),
+        os.path.join(str(small), "events.parquet"),
+    )
+    sk = _t(q_quantile_sketch(str(small))).to_pandas().sort_values("event_type")
+    ex = _t(q_value_quantiles(str(small))).to_pandas().sort_values("event_type")
+    assert (sk["n_events"].to_numpy() == ex["n_events"].to_numpy()).all()
+    for a, b in (("p50_est", "p50"), ("p90_est", "p90"), ("p99_est", "p99")):
+        assert (sk[a].to_numpy() == ex[b].to_numpy()).all(), (a, b)
+
+    # --- large regime: rank-error bound
+    n = 8000
+    vals = np.round(rng.lognormal(3.0, 1.0, n), 2)
+    large = tmp_path / "large"
+    large.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(np.arange(n) * 1000, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "user_id": pa.array([i % 7 for i in range(n)], pa.int64()),
+                "event_type": pa.array(["x"] * n, pa.string()),
+                "value": pa.array(vals, pa.float64()),
+            }
+        ),
+        os.path.join(str(large), "events.parquet"),
+    )
+    sk = _t(q_quantile_sketch(str(large))).to_pandas()
+    assert int(sk["n_events"].iloc[0]) == n
+    svals = np.sort(vals)
+    n_buckets = -(-n // QSK_BUCKET)
+    bound = n // QSK_S + n_buckets
+    import math
+
+    for p, col in ((0.5, "p50_est"), (0.9, "p90_est"), (0.99, "p99_est")):
+        est = float(sk[col].iloc[0])
+        rank = int((svals <= est).sum())
+        assert abs(rank - math.ceil(p * n)) <= bound, (p, rank, math.ceil(p * n))
