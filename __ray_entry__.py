@@ -12,7 +12,7 @@ here (nor in the library code it calls) calls ``ray.init()`` /
   (SURVEY.md §2 + the training-data operator set: dedup, similarity
   search, text analysis, index maintenance, multimodal stages).
 * ``oracle_sql()`` — DuckDB SQL equivalents where expressible: 53 of the
-  62 entries are SQL-exact, including the as-of and range joins
+  63 entries are SQL-exact, including the as-of and range joins
   (window-ranked / inequality-join replicas), exact per-type value
   quantiles, the per-source corpus-composition report, SimHash / winnowing fingerprints /
   language-ID (list_reduce FNV-1a), the pears fusion scoring, batch

@@ -337,6 +337,41 @@ def q_sample(sf_dir: str):
     )
 
 
+ZLIB_LEVEL = 6  # fixed level → deterministic compressed size
+
+
+def q_compression_ratio(sf_dir: str):
+    """Per-doc zlib compression ratio — the redundancy quality signal
+    (highly repetitive or templated text compresses far better than
+    natural prose; used alongside the Gopher/repetition gates when
+    filtering web corpora). Pure per-batch map, stdlib zlib at a fixed
+    level so the byte count is deterministic. Rows-only entry (no SQL
+    zlib); pytest pins the semantics with planted repetitive/random
+    docs."""
+    import zlib
+
+    def ratio(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        raw = [t.encode("utf-8") for t in texts]
+        comp = [len(zlib.compress(b, ZLIB_LEVEL)) for b in raw]
+        n = np.array([len(b) for b in raw], dtype=np.float64)
+        c = np.array(comp, dtype=np.float64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bytes": pa.array(n.astype(np.int64), pa.int64()),
+                "n_compressed": pa.array(c.astype(np.int64), pa.int64()),
+                "ratio": pa.array(
+                    round6(c / np.maximum(n, 1.0)), pa.float64()
+                ),
+            }
+        )
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        ratio, batch_format="pyarrow"
+    )
+
+
 WEIGHTED_SAMPLE_K = 25
 
 
@@ -1094,6 +1129,7 @@ QUERIES = {
     "curriculum_order": q_curriculum_order,
     "source_top_terms": q_source_top_terms,
     "weighted_sample": q_weighted_sample,
+    "compression_ratio": q_compression_ratio,
     "pii_scrub": q_pii_scrub,
     "source_stats": q_source_stats,
     "unigram_logprob": q_unigram_logprob,

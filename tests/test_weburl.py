@@ -353,3 +353,40 @@ def test_weighted_sample_without_replacement(ray_session, url_docs_dir):
     assert out["doc_id"].is_unique
     corpus_mean = con.sql("SELECT avg(n_chars) FROM documents").fetchone()[0]
     assert out["n_chars"].mean() > corpus_mean
+
+
+def test_compression_ratio_orders_redundancy(ray_session, tmp_path):
+    """A constant-character doc must compress far better than a
+    high-entropy one, ratios are deterministic, and byte counts are
+    exact."""
+    import zlib
+
+    from pears_lite_ray.pipelines.textstats import ZLIB_LEVEL, q_compression_ratio
+
+    rng = np.random.RandomState(3)
+    texts = [
+        "a" * 4000,                                               # redundant
+        "".join(chr(33 + rng.randint(0, 90)) for _ in range(4000)),  # noisy
+        "the quick brown fox jumps over the lazy dog. " * 80,     # prose-ish
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(3), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        os.path.join(str(tmp_path), "documents.parquet"),
+    )
+    out = (
+        _tbl(q_compression_ratio(str(tmp_path)))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = [len(zlib.compress(t.encode(), ZLIB_LEVEL)) for t in texts]
+    assert list(out["n_compressed"]) == exp
+    assert list(out["n_bytes"]) == [len(t.encode()) for t in texts]
+    r = out.set_index("doc_id")["ratio"]
+    assert r.loc[0] < r.loc[2] < r.loc[1]
+    assert r.loc[0] < 0.01 and r.loc[1] > 0.8
