@@ -469,7 +469,11 @@ def q_event_zscore(sf_dir: str):
         v = batch["value"].to_numpy()
         m = np.array([mom[t][0] for t in types])
         sd = np.array([mom[t][1] for t in types])
-        z = round6((v - m) / sd)
+        # degenerate guard: an event_type whose values are all equal has
+        # sd == 0 — define z = 0 / not-outlier (mirrored in _SQL_ZSCORE
+        # via NULLIF + coalesce) instead of letting numpy emit inf/nan
+        z = round6(np.divide(v - m, sd, out=np.zeros_like(v, dtype=np.float64),
+                             where=sd != 0.0))
         return pa.table(
             {
                 "event_id": batch["event_id"],
@@ -497,8 +501,9 @@ WITH s AS (
   FROM events GROUP BY event_type
 )
 SELECT e.event_id, e.event_type, e.value,
-       round((e.value - s.m) / s.sd, 6) AS z,
-       (abs(round((e.value - s.m) / s.sd, 6)) > {Z_OUTLIER}) AS is_outlier
+       round(coalesce((e.value - s.m) / NULLIF(s.sd, 0), 0), 6) AS z,
+       (abs(round(coalesce((e.value - s.m) / NULLIF(s.sd, 0), 0), 6))
+          > {Z_OUTLIER}) AS is_outlier
 FROM events e JOIN s USING (event_type)
 """
 

@@ -378,8 +378,9 @@ WEIGHTED_SAMPLE_K = 25
 def q_weighted_sample(sf_dir: str, k: int = WEIGHTED_SAMPLE_K):
     """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006):
     each doc draws a deterministic uniform u ∈ (0, 1] (same multiplicative
-    splitmix draw as ``sample``, offset by 1 so u is never 0) and gets key
-    ``ln(u) / weight`` with weight = n_chars (the longer-docs-more-likely
+    splitmix draw as ``sample``, offset by 1 and clamped to ≥2^-64 so u is
+    never 0 even under wraparound) and gets key
+    ``ln(u) / weight`` with weight = max(n_chars, 1) (the longer-docs-more-likely
     quality-weighted subsampling shape); the k largest keys ARE a
     weight-proportional without-replacement sample. One streamed pass
     computes keys, then a distributed sort + limit — only k rows leave.
@@ -389,10 +390,16 @@ def q_weighted_sample(sf_dir: str, k: int = WEIGHTED_SAMPLE_K):
 
     def keys(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy()
-        w = batch["n_chars"].to_numpy().astype(np.float64)
+        # weight = max(n_chars, 1): an empty doc must not divide ln(u) by
+        # zero (numpy -inf vs DuckDB NULL would diverge); mirrored in the
+        # oracle via greatest(n_chars, 1)
+        w = np.maximum(batch["n_chars"].to_numpy().astype(np.float64), 1.0)
         with np.errstate(over="ignore"):
             h = ids.astype(np.uint64) * np.uint64(_SAMPLE_MULT) + np.uint64(1)
-        u = h.astype(np.float64) / float(1 << 64)
+        # clamp u away from 0: uint64 wraparound can in principle land
+        # h == 0 (ids*MULT ≡ -1 mod 2^64), and ln(0) diverges between
+        # numpy (-inf) and SQL; mirrored with greatest(u, 2^-64)
+        u = np.maximum(h.astype(np.float64) / float(1 << 64), 2.0 ** -64)
         key = round6(np.log(u) / w)
         return pa.table(
             {
@@ -418,11 +425,12 @@ def q_weighted_sample(sf_dir: str, k: int = WEIGHTED_SAMPLE_K):
 _SQL_WEIGHTED_SAMPLE = f"""
 WITH h AS (
   SELECT doc_id, n_chars,
-         ((doc_id::HUGEINT * {_SAMPLE_MULT} + 1) % 18446744073709551616)
-           ::UBIGINT::DOUBLE / 18446744073709551616.0 AS u
+         greatest(((doc_id::HUGEINT * {_SAMPLE_MULT} + 1) % 18446744073709551616)
+           ::UBIGINT::DOUBLE / 18446744073709551616.0, pow(2.0, -64)) AS u
   FROM documents
 ),
-kk AS (SELECT doc_id, n_chars, u, round(ln(u) / n_chars, 6) AS key FROM h),
+kk AS (SELECT doc_id, n_chars, u,
+              round(ln(u) / greatest(n_chars, 1), 6) AS key FROM h),
 r AS (SELECT doc_id, n_chars, u, key,
              row_number() OVER (ORDER BY key DESC, doc_id) AS rank
       FROM kk)
