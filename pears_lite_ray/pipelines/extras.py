@@ -461,11 +461,17 @@ class SynthMediaStage:
         from ..stages.multimodal import pack_audio, pack_image, pack_video
 
         ids, kinds, payloads = [], [], []
+        from ..sources.stegopng import encode_png_bytes
+
         for d, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            # image payloads are REAL PNG containers (8-bit grayscale) so
+            # the decode stage exercises an actual codec end-to-end; the
+            # pixel values stay the deterministic text-derived bytes the
+            # SQL oracle replicates
             img = _payload_bytes(text, IMG_W * IMG_H, d % 97)
             ids.append(d)
             kinds.append("image")
-            payloads.append(pack_image(IMG_W, IMG_H, img))
+            payloads.append(encode_png_bytes(img.reshape(IMG_H, IMG_W)))
             au = _payload_bytes(text, AUDIO_SAMPLES, d % 89).astype(np.int16)
             au = (au.astype(np.int32) * 64 - 8192).astype(np.int16)
             ids.append(d)
@@ -525,6 +531,7 @@ def q_multimodal_image(sf_dir: str):
     return (
         _media_ds(sf_dir, "image")
         .map_batches(DecodeImageStage, batch_format="pyarrow", batch_size=128,
+                     fn_constructor_kwargs={"codec": "png"},
                      concurrency=pool(2), num_cpus=1)
         .map_batches(ResizeImageStage(), batch_format="pyarrow", batch_size=128)
         .map_batches(ImageFeatureStage(), batch_format="pyarrow", batch_size=128)

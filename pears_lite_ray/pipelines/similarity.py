@@ -611,9 +611,21 @@ EMB_DUP_THRESHOLD = 0.3  # synthetic 64-dim embeddings: random cosines
 DUP_BLOCK_ROWS = 8192
 
 
-def q_embedding_dups(sf_dir: str):
+# q_embedding_dups is O(N²) BY SPEC (exact verification op). Above this
+# row count the quadratic blows past any cluster budget (1M rows = ~7.5k
+# block-pair tasks; 100M rows = 75M tasks) — refuse and point the caller
+# at the sub-quadratic scale paths instead of silently launching it.
+EMBEDDING_DUPS_ROW_CAP = 1_000_000
+
+
+def q_embedding_dups(sf_dir: str, row_cap: int = EMBEDDING_DUPS_ROW_CAP):
     """Embedding-cosine near-duplicate pairs (cos ≥ threshold, a < b) —
     EXACT all-pairs, distributed as a block-pair cross product.
+
+    This is a VERIFICATION op, not a 100-TB op: compute is inherently
+    O(N²). Corpora above ``row_cap`` rows are refused with a pointer to
+    the sub-quadratic paths (``semdedup``, ``minhash_lsh``, ``knn_lsh``
+    candidates + exact rerank).
 
     Why not LSH-bucket-then-rerank (the round-1 plan): measured on the
     synthetic embeddings, threshold pairs are the upper tail of the random
@@ -626,8 +638,20 @@ def q_embedding_dups(sf_dir: str):
     (spillable), then one task per block pair (i ≤ j) fetches just its two
     blocks and emits threshold hits. No full-matrix broadcast, no driver
     materialization; output streams from a Dataset of B(B+1)/2 pair tasks."""
+    import pyarrow.parquet as _pq
     import ray
     import ray.data as rd
+
+    from .common import embeddings_path
+
+    n_rows = _pq.ParquetFile(embeddings_path(sf_dir)).metadata.num_rows
+    if n_rows > row_cap:
+        raise ValueError(
+            f"embedding_dups is exact all-pairs (O(N²)) and is gated at "
+            f"{row_cap:,} rows; corpus has {n_rows:,}. Use the "
+            f"sub-quadratic scale paths instead: semdedup, minhash_lsh, "
+            f"or knn_lsh candidates + exact rerank."
+        )
 
     def normalize(batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"].to_numpy()

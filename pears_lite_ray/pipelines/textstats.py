@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .common import (
     SQL_STOPWORDS,
@@ -939,23 +940,20 @@ def q_source_stats(sf_dir: str):
     )
 
 
-def q_unigram_logprob(sf_dir: str):
-    """CCNet/KenLM-style LM quality proxy: per-doc cross-entropy (mean
-    negative log2 probability of its tokens) under the corpus's OWN
-    unigram language model. Low scores = high-probability boilerplate,
-    high scores = rare-token noise — the two tails a perplexity filter
-    trims (Wenzek et al. 2020 use an external KenLM; the self-trained
-    unigram model is the external-data-free analog).
+UNIGRAM_VOCAB_CAP = 2048  # top-V model vocabulary; everything else is OOV
 
-    Scale shape: pass 1 emits one row per distinct in-batch token (the
-    batch combiner bounds the shuffle by batch vocabulary, not token
-    occurrences) into a data-sized ``groupby(token)`` sum; the resulting
-    corpus vocabulary is Heaps'-law-sublinear — the one table small enough
-    to pull and broadcast once per scoring actor (same contract as
-    ``decontaminate``'s benchmark set). Pass 2 streams the corpus once,
-    scoring each batch against the broadcast log-prob table. The corpus
-    text itself never shuffles. SQL-oracle-checked."""
-    import ray
+
+def _unigram_model(sf_dir: str) -> tuple[dict, float, float]:
+    """Train the bounded unigram LM: one corpus pass of batch-combined
+    token counts → data-sized ``groupby(token)`` sum, then ONLY the
+    top-``UNIGRAM_VOCAB_CAP`` rows (by count desc, token asc — a
+    distributed sort+limit) plus one scalar total leave to the driver.
+    The open corpus vocabulary — O(10⁸) entries at web scale — never
+    materializes driver-side; its tail collapses into a single OOV
+    bucket carrying the leftover mass (the class-based OOV treatment
+    KenLM/CCNet pipelines use).
+
+    → (neglogp[token] for the top-V, oov_neglogp, total_tokens)."""
     from ray.data.aggregate import Sum
 
     from .common import shuffle_partitions
@@ -974,32 +972,58 @@ def q_unigram_logprob(sf_dir: str):
             }
         )
 
-    vocab_rows = (
+    counts = (
         read_documents(sf_dir, columns=["doc_id", "text"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby("w", num_partitions=shuffle_partitions(sf_dir))
         .aggregate(Sum("c_p", alias_name="cnt"))
-        .take_all()
+        .materialize()  # vocab-sized, stays distributed; consumed twice
     )
-    total = float(sum(r["cnt"] for r in vocab_rows))
-    # -log2(cf/total) per token, computed exactly as the SQL replica does
+    total = float(counts.sum("cnt"))
+    top_rows = (
+        counts.sort(["cnt", "w"], descending=[True, False])
+        .limit(UNIGRAM_VOCAB_CAP)
+        .take_all()
+    )  # ≤ UNIGRAM_VOCAB_CAP rows — the only vocabulary that crosses
     neglogp = {
-        r["w"]: float(-np.log2(r["cnt"] / total)) for r in vocab_rows
+        r["w"]: float(-np.log2(r["cnt"] / total)) for r in top_rows
     }
-    ref = ray.put(neglogp)
+    oov_mass = total - float(sum(r["cnt"] for r in top_rows))
+    oov = float(-np.log2(oov_mass / total)) if oov_mass > 0 else 0.0
+    return neglogp, oov, total
+
+
+def q_unigram_logprob(sf_dir: str):
+    """CCNet/KenLM-style LM quality proxy: per-doc cross-entropy (mean
+    negative log2 probability of its tokens) under the corpus's OWN
+    unigram language model. Low scores = high-probability boilerplate,
+    high scores = rare-token noise — the two tails a perplexity filter
+    trims (Wenzek et al. 2020 use an external KenLM; the self-trained
+    unigram model is the external-data-free analog).
+
+    Scale shape: the model is BOUNDED — top-``UNIGRAM_VOCAB_CAP`` tokens
+    by corpus frequency plus one OOV bucket holding the tail mass (see
+    ``_unigram_model``); only V rows + a scalar ever reach the driver,
+    then one broadcast and one streamed scoring pass. The corpus text
+    itself never shuffles. SQL-oracle-checked (row_number-capped
+    vocabulary with the identical OOV bucket)."""
+    import ray
+
+    neglogp, oov, _total = _unigram_model(sf_dir)
+    ref = ray.put((neglogp, oov))
 
     class ScoreStage:
         def __init__(self, table_ref):
-            self.neglogp = ray.get(table_ref)
+            self.neglogp, self.oov = ray.get(table_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             toks, counts = tokens_per_row(batch)
-            lp = self.neglogp
+            lp, oov = self.neglogp, self.oov
             means = np.zeros(len(toks), dtype=np.float64)
             for i, words in enumerate(toks):
                 if words:
                     s = np.fromiter(
-                        (lp[w] for w in words), dtype=np.float64,
+                        (lp.get(w, oov) for w in words), dtype=np.float64,
                         count=len(words),
                     )
                     means[i] = s.sum() / len(words)
@@ -1033,32 +1057,30 @@ def q_bigram_pmi(sf_dir: str):
     Scale shape: one corpus pass emits batch-combined unigram AND bigram
     partial counts into a single data-sized groupby-sum (bigrams keyed by
     (w1, w2); unigrams ride along with ``w2 = ''`` — impossible for real
-    tokens). Only the unigram margin (Heaps'-law vocabulary, plus one
-    total-bigrams counter row) is pulled and broadcast; the much larger
-    bigram table stays distributed through scoring, and only the sorted
-    top-k leaves. SQL-oracle-checked (zipped-slice unnest replica)."""
-    import ray
+    tokens). The unigram margins reach the bigram rows through TWO term
+    equi-joins (the ``tfidf_keywords`` df-join pattern) — no vocab-sized
+    driver structure exists anywhere; only the two scalar totals (tu, tb)
+    cross to the driver, and only the sorted top-k leaves.
+    SQL-oracle-checked (zipped-slice unnest replica)."""
     from ray.data.aggregate import Sum
 
     from .common import shuffle_partitions
 
-    TOTAL_KEY = "\x01total_bigrams"  # non-token key for the tb counter
+    n_parts = shuffle_partitions(sf_dir)
 
     def partial(batch: pa.Table) -> pa.Table:
         toks, _ = tokens_per_row(batch)
         uni: dict[str, int] = {}
         bi: dict[tuple, int] = {}
-        n_bi = 0
         for words in toks:
             for w in words:
                 uni[w] = uni.get(w, 0) + 1
             for i in range(len(words) - 1):
                 k = (words[i], words[i + 1])
                 bi[k] = bi.get(k, 0) + 1
-            n_bi += max(len(words) - 1, 0)
-        w1 = [k[0] for k in bi] + list(uni) + [TOTAL_KEY]
-        w2 = [k[1] for k in bi] + [""] * (len(uni) + 1)
-        c = list(bi.values()) + list(uni.values()) + [n_bi]
+        w1 = [k[0] for k in bi] + list(uni)
+        w2 = [k[1] for k in bi] + [""] * len(uni)
+        c = list(bi.values()) + list(uni.values())
         return pa.table(
             {
                 "w1": pa.array(w1, pa.string()),
@@ -1070,53 +1092,72 @@ def q_bigram_pmi(sf_dir: str):
     counts = (
         read_documents(sf_dir, columns=["doc_id", "text"])
         .map_batches(partial, batch_format="pyarrow")
-        .groupby(["w1", "w2"], num_partitions=shuffle_partitions(sf_dir))
+        .groupby(["w1", "w2"], num_partitions=n_parts)
         .aggregate(Sum("c_p", alias_name="cnt"))
-        # consumed twice (margin pull + scoring): pin the distributed
-        # count blocks in the object store instead of re-running the pass
+        # hash-aggregate empty partitions emit schema-less blocks that
+        # break joins/filters downstream — repartition scrubs them
+        .repartition(n_parts)
+        # consumed three times (totals + margins join side + bigram side):
+        # pin the distributed count blocks instead of re-running the pass
         .materialize()
     )
 
-    margin_rows = counts.filter(expr="w2 == ''").take_all()
-    tb = float(next(r["cnt"] for r in margin_rows if r["w1"] == TOTAL_KEY))
-    uni_counts = {
-        r["w1"]: int(r["cnt"]) for r in margin_rows if r["w1"] != TOTAL_KEY
-    }
-    tu = float(sum(uni_counts.values()))
-    ref = ray.put(uni_counts)
+    # the only driver-bound values: two scalars, computed in ONE tiny job
+    # over block-level partials (tb = total bigram occurrences = sum over
+    # bigram rows; tu = total tokens = sum over unigram rows)
+    def totals(batch: pa.Table) -> pa.Table:
+        is_uni = pc.equal(batch["w2"], "")
+        c = batch["cnt"].to_numpy(zero_copy_only=False)
+        mask = is_uni.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "tu_p": pa.array([int(c[mask].sum())], pa.int64()),
+                "tb_p": pa.array([int(c[~mask].sum())], pa.int64()),
+            }
+        )
 
-    class PmiStage:
-        def __init__(self, uni_ref, tu: float, tb: float):
-            self.uni = ray.get(uni_ref)
-            self.tu, self.tb = tu, tb
+    parts = counts.map_batches(totals, batch_format="pyarrow").take_all()
+    tu = float(sum(r["tu_p"] for r in parts))
+    tb = float(sum(r["tb_p"] for r in parts))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            w1 = batch["w1"].to_pylist()
-            w2 = batch["w2"].to_pylist()
-            c12 = batch["cnt"].to_numpy().astype(np.float64)
-            c1 = np.fromiter((self.uni[w] for w in w1), np.float64, len(w1))
-            c2 = np.fromiter((self.uni[w] for w in w2), np.float64, len(w2))
-            pmi = np.log2(
-                (c12 / self.tb) / ((c1 / self.tu) * (c2 / self.tu))
-            )
-            return pa.table(
-                {
-                    "w1": batch["w1"],
-                    "w2": batch["w2"],
-                    "cnt": batch["cnt"],
-                    "pmi": pa.array(round6(pmi), pa.float64()),
-                }
-            )
+    # each join input (and the join output feeding the second join) is
+    # repartition-scrubbed: filters/joins over sparse partitions emit
+    # schema-less zero-row blocks Ray 2.49's join cannot key (same quirk
+    # as dedup._scrub)
+    margins = (
+        counts.filter(expr="w2 == ''")
+        .select_columns(["w1", "cnt"])
+        .rename_columns({"cnt": "c1"})
+        .repartition(n_parts)
+        .materialize()  # consumed by both joins
+    )
+    bi = counts.filter(
+        expr=f"w2 != '' and cnt >= {PMI_MIN_COUNT}"
+    ).repartition(n_parts)
+    half = bi.join(
+        margins, join_type="inner", num_partitions=n_parts, on=("w1",)
+    ).repartition(n_parts)
+    joined = half.join(
+        margins.rename_columns({"w1": "w2", "c1": "c2"}),
+        join_type="inner", num_partitions=n_parts, on=("w2",),
+    )
+
+    def pmi_batch(batch: pa.Table) -> pa.Table:
+        c12 = batch["cnt"].to_numpy().astype(np.float64)
+        c1 = batch["c1"].to_numpy().astype(np.float64)
+        c2 = batch["c2"].to_numpy().astype(np.float64)
+        pmi = np.log2((c12 / tb) / ((c1 / tu) * (c2 / tu)))
+        return pa.table(
+            {
+                "w1": batch["w1"],
+                "w2": batch["w2"],
+                "cnt": batch["cnt"],
+                "pmi": pa.array(round6(pmi), pa.float64()),
+            }
+        )
 
     return (
-        counts.filter(expr=f"w2 != '' and cnt >= {PMI_MIN_COUNT}")
-        .map_batches(
-            PmiStage,
-            fn_constructor_kwargs={"uni_ref": ref, "tu": tu, "tb": tb},
-            batch_format="pyarrow",
-            concurrency=(1, 8),
-            num_cpus=1,
-        )
+        joined.map_batches(pmi_batch, batch_format="pyarrow")
         .sort(["pmi", "w1", "w2"], descending=[True, False, False])
         .limit(PMI_TOP_K)
     )
@@ -1329,11 +1370,15 @@ WITH tok AS (
 ),
 cf AS (SELECT w, count(*)::BIGINT AS c FROM tok GROUP BY w),
 tot AS (SELECT sum(c)::DOUBLE AS t FROM cf),
+rk AS (SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS r FROM cf),
+topv AS (SELECT w, c::DOUBLE AS c FROM rk WHERE r <= {UNIGRAM_VOCAB_CAP}),
+oov AS (SELECT coalesce(sum(c), 0)::DOUBLE AS oc
+        FROM rk WHERE r > {UNIGRAM_VOCAB_CAP}),
 per_doc AS (
   SELECT tok.doc_id,
          count(*)::BIGINT AS n_tokens,
-         sum(-log2(cf.c / tot.t)) AS s
-  FROM tok JOIN cf USING (w) CROSS JOIN tot
+         sum(-log2(coalesce(topv.c, oov.oc) / tot.t)) AS s
+  FROM tok LEFT JOIN topv USING (w) CROSS JOIN tot CROSS JOIN oov
   GROUP BY tok.doc_id
 )
 SELECT d.doc_id,

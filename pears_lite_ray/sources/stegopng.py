@@ -81,10 +81,9 @@ def _unfilter(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
     return out
 
 
-def read_png_pixels(path: str) -> np.ndarray:
-    """(h, w, channels) uint8 for an 8-bit RGB (type 2) or RGBA (type 6) PNG."""
-    with open(path, "rb") as f:
-        data = f.read()
+def read_png_pixels_bytes(data: bytes) -> np.ndarray:
+    """(h, w, channels) uint8 for an 8-bit grayscale (type 0), RGB (type 2)
+    or RGBA (type 6) PNG, decoded from an in-memory buffer."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG file")
     pos, w = 8, 0
@@ -101,11 +100,32 @@ def read_png_pixels(path: str) -> np.ndarray:
             idat += payload
         elif tag == b"IEND":
             break
-    if bit_depth != 8 or color_type not in (2, 6):
+    if bit_depth != 8 or color_type not in (0, 2, 6):
         raise ValueError(f"unsupported PNG (depth={bit_depth}, type={color_type})")
-    bpp = 3 if color_type == 2 else 4
+    bpp = {0: 1, 2: 3, 6: 4}[color_type]
     flat = _unfilter(zlib.decompress(bytes(idat)), w, h, bpp)
     return flat.reshape(h, w, bpp)
+
+
+def read_png_pixels(path: str) -> np.ndarray:
+    """(h, w, channels) uint8 for an 8-bit PNG file (see the bytes variant)."""
+    with open(path, "rb") as f:
+        return read_png_pixels_bytes(f.read())
+
+
+def encode_png_bytes(pixels: np.ndarray) -> bytes:
+    """In-memory PNG encoder: (h, w) uint8 → 8-bit grayscale (type 0),
+    (h, w, 3) uint8 → 8-bit RGB (type 2); filter-0 scanlines."""
+    if pixels.ndim == 2:
+        color_type, h, w = 0, pixels.shape[0], pixels.shape[1]
+    elif pixels.ndim == 3 and pixels.shape[2] == 3:
+        color_type, h, w = 2, pixels.shape[0], pixels.shape[1]
+    else:
+        raise ValueError("expected (h, w) gray or (h, w, 3) RGB uint8")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+    return (_PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw, 9)) + _chunk(b"IEND", b""))
 
 
 def decode_stego_csv(path: str) -> str:

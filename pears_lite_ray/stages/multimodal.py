@@ -2,17 +2,18 @@
 decode / feature-extract / resize / frame-sample as actor-pool
 ``map_batches`` stages.
 
-The real decode libraries (PIL/ffmpeg/soundfile) are NOT in this
+The heavyweight decode libraries (PIL/ffmpeg/soundfile) are NOT in this
 environment, so the byte-level decode is pluggable:
 
-* ``codec="raw"`` (default) — a deterministic packed format (tests +
-  plumbing): ``b"IMG1" + uint16 w + uint16 h + w*h gray bytes`` for
-  images, ``b"AUD1" + uint32 sr + int16 samples`` for audio,
+* ``codec="raw"`` — a deterministic packed format (tests + plumbing):
+  ``b"IMG1" + uint16 w + uint16 h + w*h gray bytes`` for images,
+  ``b"AUD1" + uint32 sr + int16 samples`` for audio,
   ``b"VID1" + uint16 w,h + uint16 n_frames + frames`` for video.
-* ``codec="pil"`` / ``codec="ffmpeg"`` — gated behind import-try;
-  raises ``NotImplementedError`` here (STUB, clearly marked), but the
-  Ray-side contract (schemas, batch sizing, actor signature, output
-  layout) is identical and fully exercised by the raw codec.
+* ``codec="png"`` (images; the driver entry's codec) — a REAL container
+  decode: the
+  pure-Python PNG reader shared with the stego source
+  (sources/stegopng.py: zlib inflate + scanline unfilter, 8-bit
+  gray/RGB/RGBA); color decodes to Rec.601 integer luma.
 
 Scale notes: payloads are large → callers should pass a SMALL
 ``batch_size`` (payload bytes × batch_size × concurrency must fit the
@@ -66,15 +67,8 @@ class DecodeImageStage:
     def __init__(self, codec: str = "raw"):
         if codec == "raw":
             self._decode = self._decode_raw
-        elif codec == "pil":
-            try:
-                from PIL import Image  # noqa: F401
-            except ImportError as e:  # pragma: no cover - env has no PIL
-                raise NotImplementedError(
-                    "STUB: PIL decode requires pillow, not present in this "
-                    "environment; use codec='raw'"
-                ) from e
-            raise NotImplementedError("STUB: PIL branch not implemented")
+        elif codec == "png":
+            self._decode = self._decode_png
         else:
             raise ValueError(f"unknown codec {codec}")
 
@@ -87,6 +81,20 @@ class DecodeImageStage:
         if len(pix) != w * h:
             raise ValueError("truncated image payload")
         return w, h, pix
+
+    @staticmethod
+    def _decode_png(payload: bytes) -> tuple[int, int, bytes]:
+        from ..sources.stegopng import read_png_pixels_bytes
+
+        px = read_png_pixels_bytes(payload)
+        h, w, ch = px.shape
+        if ch == 1:
+            gray = px[:, :, 0]
+        else:  # RGB(A) → Rec.601 integer luma, alpha ignored
+            rgb = px[:, :, :3].astype(np.uint32)
+            gray = ((299 * rgb[:, :, 0] + 587 * rgb[:, :, 1]
+                     + 114 * rgb[:, :, 2]) // 1000).astype(np.uint8)
+        return w, h, gray.tobytes()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, ws, hs, px = [], [], [], []

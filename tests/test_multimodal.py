@@ -93,6 +93,35 @@ def test_audio_summary():
     )
 
 
-def test_pil_branch_is_marked_stub():
-    with pytest.raises((NotImplementedError, ValueError)):
+def test_png_codec_roundtrip_gray_and_rgb_luma():
+    """codec='png' is a REAL container decode (zlib inflate + unfilter):
+    grayscale PNGs round-trip exactly; RGB decodes to Rec.601 integer luma."""
+    from pears_lite_ray.sources.stegopng import encode_png_bytes
+
+    rng = np.random.RandomState(11)
+    gray = rng.randint(0, 256, size=(24, 32)).astype(np.uint8)
+    rgb = rng.randint(0, 256, size=(6, 5, 3)).astype(np.uint8)
+    t = pa.table(
+        {
+            "media_id": pa.array([0, 1], pa.int64()),
+            "kind": pa.array(["image", "image"], pa.string()),
+            "payload": pa.array(
+                [encode_png_bytes(gray), encode_png_bytes(rgb)], pa.binary()
+            ),
+        }
+    )
+    dec = DecodeImageStage(codec="png")(t)
+    assert dec["width"].to_pylist() == [32, 5]
+    assert dec["height"].to_pylist() == [24, 6]
+    out_gray = np.frombuffer(dec["pixels"][0].as_py(), np.uint8).reshape(24, 32)
+    assert np.array_equal(out_gray, gray)
+    rgb32 = rgb.astype(np.uint32)
+    luma = ((299 * rgb32[:, :, 0] + 587 * rgb32[:, :, 1]
+             + 114 * rgb32[:, :, 2]) // 1000).astype(np.uint8)
+    out_rgb = np.frombuffer(dec["pixels"][1].as_py(), np.uint8).reshape(6, 5)
+    assert np.array_equal(out_rgb, luma)
+
+
+def test_unknown_codec_rejected():
+    with pytest.raises(ValueError):
         DecodeImageStage(codec="pil")

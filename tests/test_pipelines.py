@@ -821,3 +821,68 @@ def test_bigram_pmi_collocations(ray_session, tmp_path):
     gold = con.sql(ORACLE_SQL["bigram_pmi"]).df()
     for c in out.columns:
         assert (out[c].to_numpy() == gold[c].to_numpy()).all(), c
+
+
+def test_unigram_model_vocabulary_is_bounded(ray_session, tmp_path):
+    """Plant a corpus whose open vocabulary far exceeds UNIGRAM_VOCAB_CAP
+    and assert (a) the driver-side model never exceeds the cap — the
+    100-TB OOM guard — and (b) the OOV-bucket scoring still matches the
+    SQL oracle exactly."""
+    import duckdb
+
+    from pears_lite_ray.pipelines import textstats as ts
+
+    rng = np.random.default_rng(7)
+    n_docs, vocab = 40, ts.UNIGRAM_VOCAB_CAP * 3
+    texts = [
+        " ".join(
+            f"w{v}" for v in rng.integers(0, vocab, size=200)
+        )
+        for _ in range(n_docs)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n_docs), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        os.path.join(str(tmp_path), "documents.parquet"),
+    )
+
+    neglogp, oov, total = ts._unigram_model(str(tmp_path))
+    assert len(neglogp) <= ts.UNIGRAM_VOCAB_CAP          # bounded pull
+    assert oov > 0.0                                     # tail mass exists
+    assert total == float(n_docs * 200)
+
+    out = (
+        _tbl(ts.q_unigram_logprob(str(tmp_path)))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(str(tmp_path), 'documents.parquet')}'"
+    )
+    gold = (
+        con.sql(ts.ORACLE_SQL["unigram_logprob"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        assert (out[c].to_numpy() == gold[c].to_numpy()).all(), c
+
+
+def test_embedding_dups_gated_above_row_cap(ray_session):
+    """The exact all-pairs op must refuse oversized corpora (O(N²) guard)
+    and point at the sub-quadratic alternatives."""
+    from pears_lite_ray.pipelines.similarity import q_embedding_dups
+
+    sf = "/root/testdata/sf0.01"
+    with pytest.raises(ValueError, match="O\\(N²\\).*semdedup"):
+        q_embedding_dups(sf, row_cap=10)
+    # under the cap the lazy dataset still constructs fine
+    assert q_embedding_dups(sf) is not None
