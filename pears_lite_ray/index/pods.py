@@ -184,3 +184,66 @@ class PodRouter:
         codes = self.doc_pod[j[found]]
         out[found] = np.where(codes >= 0, allow[codes], False)
         return out
+
+
+POD_FINDER_TOP = 10
+
+
+def score_unregistered_pods(candidates: pa.Table, query_vec: np.ndarray,
+                            top: int = POD_FINDER_TOP) -> pa.Table:
+    """Q12 pod_finder: rank an IMPORTED, not-yet-registered pod table
+    against a query (reference ``app/pod_finder/score_pods.py:16-46``) —
+    the "which shared pods should I subscribe to" op, distinct from Q9
+    query-time routing over the local registered pods.
+
+    Transcribed semantics: per-pod cosine of its shared ``DS_vector``
+    against the query vector (score_pods.py:19-22); NaN scores (zero
+    vectors) clamp to 0 *before* ranking (score_pods.py:28-34); sort is
+    score-desc with STABLE input-row tie order (get_best_pods — Python's
+    stable sort over dict insertion order); top-10; output carries the
+    pod's url/name/language/description metadata (output(), :52-61).
+    Length-mismatched vectors score 0.0 (utils.py:176-182 guard).
+
+    ``candidates`` columns: ``url``, ``DS_vector`` (list<float>), and
+    optional ``name``/``language``/``description`` (null-filled when
+    absent). A shared-pods directory is inherently small (pods one could
+    subscribe to, not documents) — this is a driver-side kernel; a
+    directory too big for one table runs the same kernel inside
+    ``map_batches`` with a distributed top-k tail."""
+    n = candidates.num_rows
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt(np.dot(q, q)))
+    col = candidates["DS_vector"]
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    lens = arr.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    scores = np.zeros(n, dtype=np.float64)
+    ok = lens == q.size
+    if ok.any() and qn > 0:
+        m = np.zeros((n, q.size), dtype=np.float64)
+        off = np.r_[0, np.cumsum(lens)]
+        for i in np.flatnonzero(ok):
+            m[i] = flat[off[i]:off[i + 1]]
+        norms = np.linalg.norm(m, axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            scores = (m @ q) / (norms * qn)
+        scores[~ok] = 0.0
+    scores = np.nan_to_num(scores)  # zero-norm pods → NaN → 0 (ref :31-34)
+    order = np.lexsort((np.arange(n), -scores))[:top]
+
+    def meta(name: str):
+        if name in candidates.column_names:
+            return candidates[name].take(pa.array(order))
+        return pa.array([None] * len(order), pa.string())
+
+    from ..pipelines.common import round6 as _r6  # 6dp away-from-zero
+
+    return pa.table(
+        {
+            "url": candidates["url"].take(pa.array(order)),
+            "name": meta("name"),
+            "language": meta("language"),
+            "description": meta("description"),
+            "score": pa.array(_r6(scores[order]), pa.float64()),
+        }
+    )

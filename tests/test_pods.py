@@ -144,3 +144,47 @@ def test_score_experts_matches_transcription(pod_index):
     url_by_id = dict(zip(ids.tolist(), urls))
     for d, u in zip(got["doc_id"].to_pylist(), got["url"].to_pylist()):
         assert url_by_id[int(d)] == u
+
+
+def test_score_unregistered_pods_matches_reference_transcription():
+    """Q12 conformance: rank vs a literal transcription of the reference's
+    score_pods/get_best_pods/output loop (score_pods.py:16-61), including
+    the NaN→0 clamp, stable tie order, and length-mismatch→0 guard."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pears_lite_ray.functions.overlap import cosine_similarity
+    from pears_lite_ray.index.pods import score_unregistered_pods
+
+    rng = np.random.RandomState(5)
+    n, dim = 30, 8
+    vecs = [rng.randn(dim).tolist() for _ in range(n)]
+    vecs[3] = [0.0] * dim                 # zero vector → NaN → 0
+    vecs[7] = rng.randn(dim + 2).tolist() # length mismatch → 0.0
+    vecs[11] = vecs[12] = [1.0] * dim     # exact tie → input order
+    urls = [f"https://pod{i}.example" for i in range(n)]
+    q = rng.randn(dim)
+
+    # reference transcription (score → NaN clamp → stable sort → top-10)
+    ds_scores = {}
+    for u, v in zip(urls, vecs):
+        ds_scores[u] = cosine_similarity(np.array(v), q)
+    import math
+    for u in ds_scores:
+        if math.isnan(ds_scores[u]):
+            ds_scores[u] = 0
+    best = sorted(ds_scores, key=ds_scores.get, reverse=True)[:10]
+
+    t = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "name": pa.array([f"pod {i}" for i in range(n)], pa.string()),
+            "language": pa.array(["en"] * n, pa.string()),
+            "description": pa.array([f"d{i}" for i in range(n)], pa.string()),
+            "DS_vector": pa.array(vecs, pa.list_(pa.float64())),
+        }
+    )
+    out = score_unregistered_pods(t, q)
+    assert out["url"].to_pylist() == best
+    assert out["name"].to_pylist() == [f"pod {urls.index(u)}" for u in best]
+    assert out.num_rows == 10
