@@ -67,3 +67,36 @@ def cosine_similarity(v1: np.ndarray, v2: np.ndarray) -> float:
         return float(
             np.dot(v1, v2) / (np.sqrt(np.dot(v1, v1)) * np.sqrt(np.dot(v2, v2)))
         )
+
+
+def _string_to_dict(s: str) -> dict:
+    """``"term:freq term:freq"`` → dict (utils.py:165-173; malformed
+    elements — no ':' or empty halves — are skipped, like the reference)."""
+    d = {}
+    for e in s.rstrip(" ").split():
+        if ":" in e:
+            pair = e.split(":")  # "a:b:c" keeps pair[1], like the reference
+            if pair[0] != "" and pair[1] != "":
+                d[pair[0]] = pair[1]
+    return d
+
+
+def term_cosine(q: str, d1: dict, d2_s: str) -> tuple[float, float]:
+    """Q8: legacy sparse term-dict cosine + query coverage
+    (term_cosine.py:9-42, not called from the reference's search path).
+
+    ``d1`` is the query's term→freq dict, ``d2_s`` the doc's serialized
+    ``term:freq`` string. Vectors are laid out over the UNION of the two
+    key sets (return_keys), integer-cast (mk_vector), L2-normalised with
+    the zero-vector pass-through guard (utils.py:140-144, so an empty
+    side yields NaN cosine exactly like the reference), and
+    ``coverage = |binarised overlap| / len(q.split())``."""
+    d2 = _string_to_dict(d2_s)
+    dims = sorted(set(d1) | set(d2))  # set order is score-invariant
+    v1 = np.array([int(d1.get(k, 0)) for k in dims], dtype=np.float64)
+    v2 = np.array([int(d2.get(k, 0)) for k in dims], dtype=np.float64)
+    coverage = float(((v1 > 0) & (v2 > 0)).sum()) / len(q.split())
+    n1, n2 = np.linalg.norm(v1), np.linalg.norm(v2)
+    u1 = v1 / n1 if n1 else v1
+    u2 = v2 / n2 if n2 else v2
+    return cosine_similarity(u1, u2), coverage

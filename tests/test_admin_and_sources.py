@@ -461,3 +461,30 @@ def test_stego_docs_parse_and_dataset(ray_session, tmp_path):
     assert list(docs.columns) == ["url", "warc_ts", "title", "text", "lang", "doctype"]
     assert docs["text"].tolist() == ["snippet alpha text", "snippet beta"]
     assert set(docs["doctype"]) == {"pod"}
+
+
+def test_term_cosine_reference_semantics():
+    """Q8 transcription check: hand-computed sparse cosine + coverage,
+    malformed serialized elements skipped, zero-side → NaN cosine."""
+    import math
+
+    import numpy as np
+
+    from pears_lite_ray.functions.overlap import _string_to_dict, term_cosine
+
+    assert _string_to_dict("a:2 b:1 :3 c: d 4 e:5 ") == {
+        "a": "2", "b": "1", "e": "5"
+    }
+
+    # q has 2 words; d1={a:2,b:1}, d2="a:1 c:3" → overlap {a} → coverage 1/2
+    cos, cov = term_cosine("hello world", {"a": 2, "b": 1}, "a:1 c:3")
+    v1 = np.array([2.0, 1.0, 0.0])  # dims a,b,c
+    v2 = np.array([1.0, 0.0, 3.0])
+    v1 /= np.linalg.norm(v1)
+    v2 /= np.linalg.norm(v2)
+    assert cos == pytest.approx(float(np.dot(v1, v2)))
+    assert cov == 0.5
+
+    cos0, cov0 = term_cosine("one", {"a": 1}, "")
+    assert math.isnan(cos0)        # zero doc side → NaN, like the reference
+    assert cov0 == 0.0
