@@ -70,8 +70,18 @@ def headline_build(n_docs: int = CORPUS_DOCS) -> dict:
 
         eng = QueryEngine(out, mode="bm25")
         queries = generate_queries()
+        qs = list(zip(queries["query"].to_pylist(), queries["k"].to_pylist()))
+
+        # cold/warm split: the FIRST query on a fresh engine pays shard
+        # footer parses + first row-group reads; report it separately,
+        # then hoist the remaining footer cost (warmup) and measure the
+        # steady state the p50/p95 numbers should describe
+        t0 = time.perf_counter()
+        eng.search_scores(qs[0][0], int(qs[0][1]))
+        cold_first_ms = 1000 * (time.perf_counter() - t0)
+        eng.warmup()
         lat = []
-        for q, k in zip(queries["query"].to_pylist(), queries["k"].to_pylist()):
+        for q, k in qs:
             t0 = time.perf_counter()
             eng.search_scores(q, int(k))
             lat.append(time.perf_counter() - t0)
@@ -81,8 +91,9 @@ def headline_build(n_docs: int = CORPUS_DOCS) -> dict:
             "n_docs": report["n_docs"],
             "docs_per_sec": round(report["n_docs"] / build_sec, 1),
             "postings_per_sec": round(report["total_postings"] / build_sec, 1),
-            "query_p50_ms": round(1000 * lat[len(lat) // 2], 3),
-            "query_p95_ms": round(1000 * lat[int(len(lat) * 0.95)], 3),
+            "query_cold_first_ms": round(cold_first_ms, 3),
+            "query_warm_p50_ms": round(1000 * lat[len(lat) // 2], 3),
+            "query_warm_p95_ms": round(1000 * lat[int(len(lat) * 0.95)], 3),
         }
     finally:
         shutil.rmtree(out, ignore_errors=True)

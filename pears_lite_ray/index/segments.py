@@ -40,6 +40,65 @@ class IndexStats:
         self.raw = d
 
 
+class _ShardFooters:
+    """Footer cache + row-group pruner for one ``termhash=<h>`` shard.
+
+    The parquet footers (schema + per-row-group term_id min/max stats) are
+    parsed ONCE per shard and kept; a term lookup then reads only the row
+    groups whose [min, max] ranges cover a requested term — no dataset
+    re-discovery, no footer re-parse, no full-shard scan per query. This
+    is what separates the cold first query (footer parse + first row
+    groups) from warm steady-state (pruned row-group reads only)."""
+
+    def __init__(self, path: str):
+        import pyarrow.parquet as pq
+
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        self._pf = [pq.ParquetFile(f) for f in files]
+        fi, rgi, mins, maxs = [], [], [], []
+        for i, pf in enumerate(self._pf):
+            md = pf.metadata
+            col = pf.schema_arrow.names.index("term_id")
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(col).statistics
+                fi.append(i)
+                rgi.append(g)
+                if st is not None and st.has_min_max:
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                else:  # no stats → never prunable
+                    mins.append(-(1 << 62))
+                    maxs.append(1 << 62)
+        self._fi = np.array(fi, dtype=np.int64)
+        self._rgi = np.array(rgi, dtype=np.int64)
+        self._min = np.array(mins, dtype=np.int64)
+        self._max = np.array(maxs, dtype=np.int64)
+
+    def read(self, ts: list[int]) -> pa.Table | None:
+        want = np.array(ts, dtype=np.int64)
+        hit = np.zeros(self._fi.size, dtype=bool)
+        for t in want:
+            hit |= (self._min <= t) & (t <= self._max)
+        if not hit.any():
+            return None
+        tabs = []
+        for i in np.unique(self._fi[hit]):
+            rgs = self._rgi[hit & (self._fi == i)]
+            t = self._pf[i].read_row_groups(
+                rgs.tolist(), columns=SEGMENT_ROW_KEYS
+            )
+            tabs.append(
+                t.filter(
+                    pc.is_in(t["term_id"],
+                             value_set=pa.array(want, pa.int64()))
+                )
+            )
+        return pa.concat_tables(tabs) if tabs else None
+
+
 class SegmentStore:
     """Posting-list lookup over the sharded segments directory."""
 
@@ -53,7 +112,27 @@ class SegmentStore:
             name.startswith("termhash=") for name in os.listdir(segments_dir)
         )
         self._shard_ds: dict[int, pads.Dataset] = {}
+        self._footers: dict[int, _ShardFooters | None] = {}
         self._row_cache: dict[int, dict | None] = {}
+
+    def _footers_for_shard(self, shard: int) -> _ShardFooters | None:
+        if shard in self._footers:
+            return self._footers[shard]
+        path = os.path.join(self.dir, f"termhash={shard}")
+        fo = _ShardFooters(path) if os.path.isdir(path) else None
+        self._footers[shard] = fo
+        return fo
+
+    def warmup(self) -> int:
+        """Parse every shard's footers up front (cold-cost hoist for
+        latency-sensitive serving). → #shards opened."""
+        if not self._partitioned:
+            return 0
+        n = 0
+        for shard in range(self.n_shards):
+            if self._footers_for_shard(shard) is not None:
+                n += 1
+        return n
 
     def _dataset_for_shard(self, shard: int) -> pads.Dataset | None:
         if shard in self._shard_ds:
@@ -79,13 +158,21 @@ class SegmentStore:
             return out
         fetched: dict[int, dict] = {}
         for shard, ts in by_shard.items():
-            ds = self._dataset_for_shard(shard)
-            if ds is None:
+            if self._partitioned:
+                fo = self._footers_for_shard(shard)
+                tbl = fo.read(ts) if fo is not None else None
+            else:
+                ds = self._dataset_for_shard(shard)
+                tbl = None
+                if ds is not None:
+                    tbl = ds.to_table(
+                        columns=SEGMENT_ROW_KEYS,
+                        filter=pc.field("term_id").isin(
+                            pa.array(ts, pa.int64())
+                        ),
+                    )
+            if tbl is None:
                 continue
-            tbl = ds.to_table(
-                columns=SEGMENT_ROW_KEYS,
-                filter=pc.field("term_id").isin(pa.array(ts, pa.int64())),
-            )
             for row in tbl.to_pylist():
                 fetched[int(row["term_id"])] = row
         if len(self._row_cache) > self.CACHE_CAP:

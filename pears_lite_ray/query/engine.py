@@ -51,6 +51,7 @@ class QueryEngine:
 
         self.tombstones = load_tombstones(index_dir)
         self.mode = mode
+
         # the reference strips query stopwords before scoring
         # (controllers.py:55); default on for pears fidelity, off for bm25.
         self.strip = (mode == "pears") if strip_query_stopwords is None else strip_query_stopwords
@@ -84,6 +85,12 @@ class QueryEngine:
             vocab = self.tokenizer.vocab if hasattr(self.tokenizer, "vocab") else None
             self._pod_router = PodRouter(self._index_dir, vocab)
         return self._pod_router
+
+    def warmup(self) -> int:
+        """Hoist the cold-query cost: parse all segment-shard parquet
+        footers up front (SegmentStore.warmup) so the first real query
+        pays only pruned row-group reads. → #shards opened."""
+        return self.segments.warmup()
 
     def route_pods(self, query: str, top: int = 3, floor: float = 0.01) -> list[str]:
         """Top-``top`` pods by centroid cosine; ALL pods when the best score
