@@ -61,7 +61,13 @@ class _ShardFooters:
         fi, rgi, mins, maxs = [], [], [], []
         for i, pf in enumerate(self._pf):
             md = pf.metadata
-            col = pf.schema_arrow.names.index("term_id")
+            # row-group stats index by parquet LEAF column (lists expand
+            # to .list.element leaves) — locate term_id by leaf path, not
+            # arrow top-level position
+            col = next(
+                j for j in range(md.num_columns)
+                if md.schema.column(j).path.split(".")[0] == "term_id"
+            )
             for g in range(md.num_row_groups):
                 st = md.row_group(g).column(col).statistics
                 fi.append(i)
