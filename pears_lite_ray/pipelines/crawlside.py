@@ -1,0 +1,457 @@
+"""Crawl-side operators re-expressed as batch pipelines (SURVEY §2 S5/S6/W5).
+
+The reference's spider, robots gate and HTML cache are live-web machinery
+(urlopen / requests / local file writes); a batch engine sees the crawl as
+DATA — a link graph, a robots table, a cache layout — so each op becomes a
+dataset transform with the reference's decision semantics preserved:
+
+* ``link_frontier`` (S5) — the spider's BFS frontier
+  (``app/indexer/spider.py:40-58`` ``get_links``: queue seeds, expand a
+  page's links, skip ``'#'`` links, bound the walk) as LEVEL-SYNCHRONOUS
+  distributed BFS: each level is one equi-join of the frontier against the
+  edge table plus a per-level distinct; a final groupby-min yields the
+  shortest-hop depth. The reference's ``max_pages`` visit cap is inherently
+  sequential (it depends on queue order); the batch analog bounds the walk
+  by DEPTH instead. At crawl scale each level would also anti-join the
+  visited set to avoid re-expanding earlier levels — here dominated
+  candidates are simply removed by the final min.
+* ``robots_filter`` (S6) — the robots.txt gate
+  (``app/indexer/access.py:7-41`` ``robotcheck``) as a per-domain grouped
+  predicate: parse the domain's robots.txt honoring ``User-agent`` section
+  gating, build the disallow patterns exactly as the reference does
+  (``Disallow: /`` appends the domain itself; other rules join under the
+  domain; ``*`` becomes ``.*``; match = unanchored ``re.search`` on the
+  url), and evaluate each pattern VECTORIZED over the whole domain group.
+  ``ref_allowed`` preserves the reference's quirk verbatim: ``robotcheck``
+  returns False whenever the ``*`` section has ANY disallow rule, whether
+  or not one matches the url (access.py:35-41); ``allowed`` is the
+  rule-matching semantics a crawler actually wants.
+* ``cache_paths`` (W5) — the HTML cache sink
+  (``app/indexer/caching.py:16-46`` ``cache_file``): url → cache-path
+  mapping (netloc directory + path dirs; empty page → ``index.html``;
+  non-``.html`` page gets the suffix appended) plus the ``</head>`` css
+  injection, emitted as (url, cache_path, size) rows. The actual sink
+  (``write_html_cache``) writes the cached pages as PARQUET partitioned by
+  a domain-hash bucket — one-file-per-page is a filesystem DoS at crawl
+  scale; a bucketed columnar cache keeps domain locality and scales to
+  10^12 pages.
+
+The testdata ``documents`` table carries no url/html/link columns, so —
+exactly like the url_dedup / csv / stego / multimodal entries — urls,
+robots policies and the link graph are synthesized DETERMINISTICALLY from
+(doc_id, source) and replicated by the DuckDB oracles rule-for-rule.
+
+Scale notes: ``robots_filter`` shuffles on the domain key (same skew shape
+as ``domain_cap``); the real-world robots table (one row per domain) would
+be an equi-join against it — never a driver broadcast (10^8 domains).
+``link_frontier``'s per-level join partitions on src doc_id; the edge
+table never moves to the driver.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..functions.urlnorm import (
+    SQL_CANONICALIZE,
+    SQL_SYNTH_URL,
+    canonicalize_urls,
+    registered_domains,
+    synth_urls,
+)
+from .common import (
+    documents_path,
+    read_documents,
+    shuffle_partitions,
+    sql_fnv1a,
+)
+
+# ---------------------------------------------------------------------------
+# S6: robots gate
+
+
+def fnv1a_str(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for b in s.encode():
+        h = ((h ^ b) * 0x100000001B3) % (1 << 64)
+    return h
+
+
+_DECOY = "User-agent: BadBot\nDisallow: /private\n\n"
+
+
+def robots_txt_for(domain: str) -> str:
+    """Deterministic robots.txt per domain (FNV-1a(domain) % 4 picks the
+    policy); every file carries a decoy non-``*`` section the parser must
+    skip. The SQL oracle replicates the NET rules per policy id."""
+    r = fnv1a_str(domain) % 4
+    if r == 0:
+        return _DECOY  # no 'User-agent: *' section at all
+    lines = ["User-agent: *"]
+    if r == 1:
+        lines.append("Disallow: /p/1")
+    elif r == 2:
+        lines.append("Disallow: /")
+    else:
+        lines += ["Disallow: /p/*7", "Disallow: /admin"]
+    return _DECOY + "\n".join(lines) + "\n"
+
+
+def parse_disallowed(domain_url: str, robots: str) -> list[str]:
+    """Reference ``robotcheck`` parse semantics (access.py:17-33):
+    section gating on ``User-agent: *``; ``Disallow: /`` appends the domain
+    itself; other rules strip the leading slash and join under the domain."""
+    disallowed: list[str] = []
+    parse = False
+    for line in robots.splitlines():
+        if "User-agent: *" in line:
+            parse = True
+        elif "User-agent" in line and parse:
+            parse = False
+        elif line == "Disallow: /" and parse:
+            disallowed.append(domain_url)
+        elif "Disallow:" in line and parse:
+            m = re.search(r"Disallow:\s*(.+)", line)
+            if m:
+                u = m.group(1)
+                if u[0] == "/":
+                    u = u[1:]
+                disallowed.append(domain_url + "/" + u)
+    return disallowed
+
+
+def q_robots_filter(sf_dir: str):
+    """(doc_id, url, domain, n_rules, matched, ref_allowed, allowed) —
+    canonical url gated by its domain's robots policy."""
+
+    def with_domain(batch: pa.Table) -> pa.Table:
+        urls = canonicalize_urls(synth_urls(batch["doc_id"], batch["source"]))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "url": urls,
+                "domain": registered_domains(urls),
+            }
+        )
+
+    def gate(group: pa.Table) -> pa.Table:
+        domain = group["domain"][0].as_py()
+        rules = parse_disallowed("https://" + domain, robots_txt_for(domain))
+        urls = group["url"].combine_chunks()
+        matched = np.zeros(len(group), dtype=bool)
+        for pat in rules:  # ≤3 rules: one vectorized regex pass per rule
+            hit = pc.match_substring_regex(urls, pat.replace("*", ".*"))
+            matched |= hit.to_numpy(zero_copy_only=False)
+        n = len(rules)
+        return pa.table(
+            {
+                "doc_id": group["doc_id"],
+                "url": group["url"],
+                "domain": group["domain"],
+                "n_rules": pa.array(np.full(len(group), n), pa.int64()),
+                "matched": pa.array(matched, pa.bool_()),
+                # reference quirk: blocked iff ANY rule exists (access.py:38)
+                "ref_allowed": pa.array(np.full(len(group), n == 0), pa.bool_()),
+                "allowed": pa.array(~matched, pa.bool_()),
+            }
+        )
+
+    return (
+        read_documents(sf_dir, columns=["doc_id", "source"])
+        .map_batches(with_domain, batch_format="pyarrow")
+        .groupby("domain", num_partitions=shuffle_partitions(sf_dir))
+        .map_groups(gate, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S5: spider frontier
+
+FRONTIER_SEED_MOD = 101     # seeds: doc_id % 101 == 0
+FRONTIER_MAX_DEPTH = 3
+_EDGE_FANOUT = (1, 2, 3)    # dst_j = (src*31 + 97*j) % n_docs
+_EDGE_SKIP_MOD = 11         # mirror of the spider's "'#' in link" skip
+_EDGE_SKIP_RES = 3
+
+
+def q_link_frontier(sf_dir: str):
+    """(doc_id, depth) — docs reachable from the seed set within
+    FRONTIER_MAX_DEPTH hops of the synthesized link graph; depth is the
+    shortest hop count (BFS)."""
+    n_docs = pq.ParquetFile(documents_path(sf_dir)).metadata.num_rows
+    parts = shuffle_partitions(sf_dir)
+
+    def edges_batch(batch: pa.Table) -> pa.Table:
+        src = batch["doc_id"].to_numpy()
+        srcs, dsts = [], []
+        for j in _EDGE_FANOUT:
+            keep = (src + j) % _EDGE_SKIP_MOD != _EDGE_SKIP_RES
+            srcs.append(src[keep])
+            dsts.append((src[keep] * 31 + 97 * j) % n_docs)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate(srcs), pa.int64()),
+                "dst": pa.array(np.concatenate(dsts), pa.int64()),
+            }
+        )
+
+    def seeds_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        ids = ids[ids % FRONTIER_SEED_MOD == 0]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "depth": pa.array(np.zeros(ids.size, np.int64), pa.int64()),
+            }
+        )
+
+    def _compact(ds):
+        # seeds are sparse: most map blocks are EMPTY, and Ray 2.49
+        # serializes empty blocks schema-less, which the join operator's
+        # hash shuffle rejects ("No match ... for key field reference") —
+        # same quirk (and same repartition fix) as dedup._scrub
+        return ds.repartition(min(parts, 4)).materialize()
+
+    docs = read_documents(sf_dir, columns=["doc_id"])
+    edges = docs.map_batches(edges_batch, batch_format="pyarrow").materialize()
+    frontier = _compact(docs.map_batches(seeds_batch, batch_format="pyarrow"))
+
+    levels = [frontier]
+    for depth in range(1, FRONTIER_MAX_DEPTH + 1):
+
+        def next_level(group: pa.Table, d: int = depth) -> pa.Table:
+            # per-level distinct: one row per dst, at this level's depth
+            return pa.table(
+                {
+                    "doc_id": group["dst"].slice(0, 1),
+                    "depth": pa.array([d], pa.int64()),
+                }
+            )
+
+        frontier = _compact(
+            edges.join(
+                frontier.select_columns(["doc_id"]),
+                join_type="inner",
+                num_partitions=parts,
+                on=("src",),
+                right_on=("doc_id",),
+            )
+            .groupby("dst", num_partitions=parts)
+            .map_groups(next_level, batch_format="pyarrow")
+        )
+        levels.append(frontier)
+
+    def min_depth(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": group["doc_id"].slice(0, 1),
+                "depth": pa.array(
+                    [pc.min(group["depth"]).as_py()], pa.int64()
+                ),
+            }
+        )
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out.groupby("doc_id", num_partitions=parts).map_groups(
+        min_depth, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5: html cache layout
+
+CSS_LINK = (
+    '<link rel="stylesheet" type="text/css" href="/static/css/offline.css"/>\n'
+)
+_HTML_PRE = "<html><head><title>doc "
+_HTML_MID = "</title>" + CSS_LINK + "</head><body>"
+_HTML_SUF = "</body></html>"
+_CACHED_CONST_LEN = len(_HTML_PRE) + len(_HTML_MID) + len(_HTML_SUF)
+
+
+def cache_paths_for(urls: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, pa.Array]:
+    """(netloc, cache_path) per raw url — the reference's ``cache_file``
+    mapping (caching.py:27-46): dirs = netloc + path dirs; empty page →
+    ``index.html``; page without the ``.html`` suffix gets it appended."""
+    after = pc.replace_substring_regex(urls, r"^https?://", "")
+    netloc = pc.replace_substring_regex(after, r"/.*$", "")
+    path = pc.replace_substring_regex(after, r"^[^/]*", "")
+    path = pc.replace_substring_regex(path, r"[?#].*$", "")
+    page = pc.replace_substring_regex(path, r"^.*/", "")
+    dirp = pc.replace_substring_regex(path, r"[^/]*$", "")
+    page = pc.if_else(
+        pc.equal(page, ""),
+        pa.scalar("index.html"),
+        pc.if_else(
+            pc.ends_with(page, pattern=".html"),
+            page,
+            pc.binary_join_element_wise(page, ".html", ""),
+        ),
+    )
+    cache_path = pc.binary_join_element_wise(
+        pa.array(["html_cache/"] * len(urls)), netloc, dirp, page, ""
+    )
+    fix = lambda a: a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+    return fix(netloc), fix(cache_path)
+
+
+def q_cache_paths(sf_dir: str):
+    """(doc_id, url, cache_path, n_chars_cached) — cache layout + size of
+    the css-injected cached page for every document."""
+
+    def layout(batch: pa.Table) -> pa.Table:
+        urls = synth_urls(batch["doc_id"], batch["source"])
+        _, cache_path = cache_paths_for(urls)
+        id_len = pc.utf8_length(pc.cast(batch["doc_id"], pa.string()))
+        n = pc.add(
+            pc.add(pc.utf8_length(batch["text"]), id_len),
+            pa.scalar(_CACHED_CONST_LEN, pa.int32()),
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "url": urls,
+                "cache_path": cache_path,
+                "n_chars_cached": pc.cast(n, pa.int64()),
+            }
+        )
+
+    return read_documents(
+        sf_dir, columns=["doc_id", "source", "text"]
+    ).map_batches(layout, batch_format="pyarrow")
+
+
+CACHE_BUCKETS = 16
+
+
+def write_html_cache(sf_dir: str, out_dir: str) -> int:
+    """The actual W5 sink: cached (css-injected) page text written as
+    parquet PARTITIONED by a domain-hash bucket — domain locality without
+    one-file-per-page. Returns the number of cached rows."""
+
+    def build(batch: pa.Table) -> pa.Table:
+        urls = synth_urls(batch["doc_id"], batch["source"])
+        netloc, cache_path = cache_paths_for(urls)
+        ids = pc.cast(batch["doc_id"], pa.string())
+        html = pc.binary_join_element_wise(
+            pa.array([_HTML_PRE] * len(batch)),
+            ids,
+            pa.array([_HTML_MID] * len(batch)),
+            batch["text"],
+            pa.array([_HTML_SUF] * len(batch)),
+            "",
+        )
+        uniq: dict[str, int] = {}
+        bucket = np.empty(len(batch), np.int64)
+        for i, d in enumerate(netloc.to_pylist()):  # few uniques per batch
+            if d not in uniq:
+                uniq[d] = fnv1a_str(d) % CACHE_BUCKETS
+            bucket[i] = uniq[d]
+        return pa.table(
+            {
+                "url": urls,
+                "cache_path": cache_path,
+                "html": html,
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    ds = read_documents(
+        sf_dir, columns=["doc_id", "source", "text"]
+    ).map_batches(build, batch_format="pyarrow")
+    ds.write_parquet(out_dir, partition_cols=["bucket"])
+    import pyarrow.dataset as pads
+
+    return pads.dataset(out_dir, format="parquet", partitioning="hive").count_rows()
+
+
+# ---------------------------------------------------------------------------
+# oracles
+
+_SQL_CANON_RAW = SQL_CANONICALIZE.format(url="raw")
+
+_SQL_ROBOTS = f"""
+WITH u AS (SELECT doc_id, {SQL_SYNTH_URL} AS raw FROM documents),
+c AS (SELECT doc_id, {_SQL_CANON_RAW} AS url FROM u),
+cd AS (SELECT doc_id, url,
+              regexp_replace(regexp_replace(url, '^https://', ''),
+                             '/.*$', '') AS domain
+       FROM c),
+h AS (SELECT domain, {sql_fnv1a('domain')} % 4 AS r
+      FROM (SELECT DISTINCT domain FROM cd)),
+rules AS (SELECT domain,
+                 CASE WHEN r = 0 THEN CAST([] AS VARCHAR[])
+                      WHEN r = 1 THEN ['https://' || domain || '/p/1']
+                      WHEN r = 2 THEN ['https://' || domain]
+                      ELSE ['https://' || domain || '/p/.*7',
+                            'https://' || domain || '/admin'] END AS pats
+          FROM h)
+SELECT cd.doc_id, cd.url, cd.domain,
+       len(r.pats)::BIGINT AS n_rules,
+       len(list_filter(r.pats, __rp -> regexp_matches(cd.url, __rp))) > 0
+         AS matched,
+       (len(r.pats) = 0) AS ref_allowed,
+       NOT (len(list_filter(r.pats,
+                            __rq -> regexp_matches(cd.url, __rq))) > 0)
+         AS allowed
+FROM cd JOIN rules r ON cd.domain = r.domain
+"""
+
+_SQL_FRONTIER = f"""
+WITH RECURSIVE
+n AS (SELECT count(*) AS c FROM documents),
+e AS (SELECT d.doc_id AS src,
+             (d.doc_id * 31 + 97 * t.j) % n.c AS dst
+      FROM documents d, n, range(1, {len(_EDGE_FANOUT) + 1}) t(j)
+      WHERE (d.doc_id + t.j) % {_EDGE_SKIP_MOD} <> {_EDGE_SKIP_RES}),
+f(doc_id, depth) AS (
+  SELECT doc_id, 0::BIGINT FROM documents
+  WHERE doc_id % {FRONTIER_SEED_MOD} = 0
+  UNION
+  SELECT e.dst, f.depth + 1 FROM f JOIN e ON e.src = f.doc_id
+  WHERE f.depth < {FRONTIER_MAX_DEPTH})
+SELECT doc_id, min(depth)::BIGINT AS depth FROM f GROUP BY doc_id
+"""
+
+_SQL_CACHE = f"""
+WITH u AS (SELECT doc_id, text, {SQL_SYNTH_URL} AS url FROM documents),
+p AS (SELECT doc_id, text, url,
+             regexp_replace(url, '^https?://', '') AS after0
+      FROM u),
+q AS (SELECT doc_id, text, url,
+             regexp_replace(after0, '/.*$', '') AS netloc,
+             regexp_replace(regexp_replace(after0, '^[^/]*', ''),
+                            '[?#].*$', '') AS path
+      FROM p),
+r AS (SELECT doc_id, text, url, netloc,
+             regexp_replace(path, '^.*/', '') AS page,
+             regexp_replace(path, '[^/]*$', '') AS dirp
+      FROM q)
+SELECT doc_id, url,
+       'html_cache/' || netloc || dirp ||
+       (CASE WHEN page = '' THEN 'index.html'
+             WHEN page LIKE '%.html' THEN page
+             ELSE page || '.html' END) AS cache_path,
+       ({_CACHED_CONST_LEN} + length(CAST(doc_id AS VARCHAR)) + length(text)
+        )::BIGINT AS n_chars_cached
+FROM r
+"""
+
+QUERIES = {
+    "robots_filter": q_robots_filter,
+    "link_frontier": q_link_frontier,
+    "cache_paths": q_cache_paths,
+}
+
+ORACLE_SQL = {
+    "robots_filter": _SQL_ROBOTS,
+    "link_frontier": _SQL_FRONTIER,
+    "cache_paths": _SQL_CACHE,
+}
