@@ -296,6 +296,34 @@ def sql_fnv1a(expr: str) -> str:
     )
 
 
+# splitmix64's finalizer mixer (Steele et al. 2014): avalanche for hashes
+# whose top bits are biased (FNV of short similar strings), and the
+# SQL-replicable way to derive pseudo-random constants (MinHash permutation
+# params) — replica parity is property-tested in tests/test_property.py.
+MIX_C1 = np.uint64(0xBF58476D1CE4E5B9)
+MIX_C2 = np.uint64(0x94D049BB133111EB)
+
+
+def mix64(h: np.ndarray) -> np.ndarray:
+    h = h.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        h ^= h >> np.uint64(30)
+        h *= MIX_C1
+        h ^= h >> np.uint64(27)
+        h *= MIX_C2
+        h ^= h >> np.uint64(31)
+    return h
+
+
+def sql_mix64(expr: str) -> str:
+    m = "18446744073709551616::UHUGEINT"
+    x1 = f"xor({expr}, ({expr}) >> 30)"
+    x2 = f"((({x1})::UHUGEINT * {int(MIX_C1)}::UHUGEINT) % {m})::UBIGINT"
+    x3 = f"xor({x2}, ({x2}) >> 27)"
+    x4 = f"((({x3})::UHUGEINT * {int(MIX_C2)}::UHUGEINT) % {m})::UBIGINT"
+    return f"xor({x4}, ({x4}) >> 31)"
+
+
 def round6(x: np.ndarray) -> np.ndarray:
     """Round half AWAY from zero at 6dp — DuckDB's round() semantics.
 

@@ -40,11 +40,13 @@ from .common import (
     distinct_per_row,
     tune_shuffle_admission,
     md5_hex,
+    mix64,
     pool,
     read_documents,
     round6,
     shingle_stream,
     sql_fnv1a,
+    sql_mix64,
     tokens_per_row,
     word_hash_stream,
 )
@@ -299,17 +301,16 @@ def jaccard_dropped_shingles(sf_dir: str, hot_cap: int = HOT_SHINGLE_CAP):
 
 # -- MinHash + LSH -----------------------------------------------------------
 
-def _minhash_matrix(shingles: np.ndarray) -> np.ndarray:
-    """64 min-hashes of one doc's shingle-hash set (universal hashing mod
-    2^61-1 with fixed odd multipliers — deterministic everywhere)."""
-    if shingles.size == 0:
-        return np.full(MINHASH_PERMS, np.iinfo(np.int64).max, dtype=np.int64)
-    rng = np.random.RandomState(1234)
-    a = rng.randint(1, (1 << 61) - 1, size=MINHASH_PERMS).astype(np.uint64) | np.uint64(1)
-    b = rng.randint(0, (1 << 61) - 1, size=MINHASH_PERMS).astype(np.uint64)
-    x = shingles.astype(np.uint64) % _MERSENNE
-    prod = (a[:, None] * x[None, :] + b[:, None]) % _MERSENNE
-    return prod.min(axis=1).astype(np.int64)
+def minhash_perms() -> tuple[np.ndarray, np.ndarray]:
+    """The fixed universal-hash coefficients (a_p, b_p) for the 64 MinHash
+    permutations, derived with splitmix64's mixer instead of a numpy RNG so
+    the DuckDB oracle can replicate them term-for-term:
+    ``a_p = mix64(2p+1) % (M-1) + 1`` (in [1, M-1]), ``b_p = mix64(2p+2) % M``
+    with M = 2^61 - 1."""
+    p = np.arange(MINHASH_PERMS, dtype=np.uint64)
+    a = (mix64(2 * p + np.uint64(1)) % (_MERSENNE - np.uint64(1))) + np.uint64(1)
+    b = mix64(2 * p + np.uint64(2)) % _MERSENNE
+    return a, b
 
 
 class MinHashStage:
@@ -326,9 +327,7 @@ class MinHashStage:
     and splits it with two filters."""
 
     def __init__(self):
-        rng = np.random.RandomState(1234)
-        self.a = rng.randint(1, (1 << 61) - 1, size=MINHASH_PERMS).astype(np.uint64) | np.uint64(1)
-        self.b = rng.randint(0, (1 << 61) - 1, size=MINHASH_PERMS).astype(np.uint64)
+        self.a, self.b = minhash_perms()
 
     def signatures(self, toks: list[list[str]]) -> tuple[np.ndarray, list[bytes]]:
         """((n_rows, MINHASH_PERMS) int64 signatures, per-row shingle-set
@@ -394,7 +393,10 @@ def q_minhash_lsh(sf_dir: str, hot_cap: int = HOT_SHINGLE_CAP):
     materialized stage output splits into bands and sets, candidate pairs
     deduplicate with the bucketed-combine pattern (see q_jaccard_pairs),
     and two equi-joins attach both sets for the exact per-pair verify.
-    Rows-only driver check (hash permutations are not SQL-expressible)."""
+    SQL-oracle-exact: the permutation constants are splitmix64-derived
+    (``minhash_perms``) and the DuckDB oracle replicates signatures, band
+    keys (FNV fold), the hot-bucket cap and the jaccard verify
+    term-for-term — including numpy's uint64 wraparound in a·x+b."""
     tune_shuffle_admission()
 
     media = read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
@@ -1043,7 +1045,85 @@ jp AS (
   JOIN sizes sb ON sb.doc_id = p.doc_b
 )"""
 
+# MinHash/LSH replica: shingle FNV (trailing-space form, as shingle_stream
+# hashes "w1 w2 w3 "), splitmix64-derived permutation constants
+# (minhash_perms), signature = min over shingles of ((a*x mod 2^64) + b
+# mod 2^64) mod M — numpy uint64 WRAPS on the multiply, so the replica
+# wraps too — band key = 64-bit FNV fold of the band's 8 signature values
+# masked to 63 bits, candidates = same (band, key) pairs in buckets at or
+# under the hot cap, verified with exact set jaccard at 6dp.
+_FNV_SHINGLE_SP = sql_fnv1a("t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '")
+_M61 = (1 << 61) - 1
+_P64 = 1 << 64
+
+_SQL_MINHASH_LSH = f"""
+WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
+shv AS (
+  SELECT DISTINCT doc_id, {_FNV_SHINGLE_SP} AS hv
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+),
+perms AS (
+  SELECT p,
+         ({sql_mix64('(2*p+1)::UBIGINT')} % {_M61 - 1}) + 1 AS a,
+         {sql_mix64('(2*p+2)::UBIGINT')} % {_M61} AS b
+  FROM range(0, {MINHASH_PERMS}) t(p)
+),
+sigs AS (
+  SELECT s.doc_id, pm.p,
+         min((((pm.a::UHUGEINT * (s.hv % {_M61})::UHUGEINT) % {_P64}
+               + pm.b::UHUGEINT) % {_P64}) % {_M61})::BIGINT AS sig
+  FROM shv s, perms pm
+  GROUP BY s.doc_id, pm.p
+),
+sigfull AS (
+  SELECT d.doc_id, pm.p,
+         coalesce(sg.sig, 9223372036854775807) AS sig
+  FROM documents d
+  CROSS JOIN perms pm
+  LEFT JOIN sigs sg ON sg.doc_id = d.doc_id AND sg.p = pm.p
+),
+bkeys AS (
+  SELECT doc_id, (p // {MINHASH_PERMS // MINHASH_BANDS})::INTEGER AS band,
+         (list_reduce(
+            list_prepend(14695981039346656037::UBIGINT,
+              list_transform(list(sig ORDER BY p % {MINHASH_PERMS // MINHASH_BANDS}),
+                             __mhv -> __mhv::UBIGINT)),
+            (__mha, __mhb) -> ((xor(__mha::UBIGINT, __mhb)::HUGEINT
+                                * 1099511628211) % {_P64})::UBIGINT)
+          % {1 << 63})::BIGINT AS band_key
+  FROM sigfull
+  GROUP BY doc_id, p // {MINHASH_PERMS // MINHASH_BANDS}
+),
+bsize AS (SELECT band, band_key, count(*) AS n FROM bkeys
+          GROUP BY band, band_key),
+cand AS (
+  SELECT DISTINCT k1.doc_id AS doc_a, k2.doc_id AS doc_b
+  FROM bkeys k1
+  JOIN bkeys k2 ON k1.band = k2.band AND k1.band_key = k2.band_key
+                AND k1.doc_id < k2.doc_id
+  JOIN bsize bs ON bs.band = k1.band AND bs.band_key = k1.band_key
+  WHERE bs.n <= {HOT_SHINGLE_CAP}
+),
+sizes AS (SELECT doc_id, count(*) AS nsh FROM shv GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN shv a ON a.doc_id = c.doc_a
+  JOIN shv b ON b.doc_id = c.doc_b AND b.hv = a.hv
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a, c.doc_b,
+       coalesce(round(coalesce(i.i, 0)::DOUBLE /
+                      NULLIF(coalesce(sa.nsh, 0) + coalesce(sb.nsh, 0)
+                             - coalesce(i.i, 0), 0), 6), 0.0) AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+LEFT JOIN sizes sa ON sa.doc_id = c.doc_a
+LEFT JOIN sizes sb ON sb.doc_id = c.doc_b
+"""
+
 ORACLE_SQL = {
+    "minhash_lsh": _SQL_MINHASH_LSH,
     "exact_dedup": """
 SELECT doc_id, md5(text) AS text_md5,
        min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_doc_id

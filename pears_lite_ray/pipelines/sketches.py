@@ -60,30 +60,10 @@ _POW2 = (np.uint64(1) << np.arange(57, dtype=np.uint64)).astype(np.uint64)
 # FNV-1a of short similar strings leaves the TOP bits heavily biased
 # (measured: 3000 distinct words land in 35 of 256 registers); HLL needs
 # avalanche in both the register index and the rank bits, so finalize with
-# splitmix64's mixer (Steele et al. 2014) — replicated in SQL via UHUGEINT
-# modular multiplies.
-_MIX_C1 = np.uint64(0xBF58476D1CE4E5B9)
-_MIX_C2 = np.uint64(0x94D049BB133111EB)
-
-
-def _mix64(h: np.ndarray) -> np.ndarray:
-    h = h.astype(np.uint64, copy=True)
-    with np.errstate(over="ignore"):
-        h ^= h >> np.uint64(30)
-        h *= _MIX_C1
-        h ^= h >> np.uint64(27)
-        h *= _MIX_C2
-        h ^= h >> np.uint64(31)
-    return h
-
-
-def _sql_mix64(expr: str) -> str:
-    m = "18446744073709551616::UHUGEINT"
-    x1 = f"xor({expr}, ({expr}) >> 30)"
-    x2 = f"((({x1})::UHUGEINT * {int(_MIX_C1)}::UHUGEINT) % {m})::UBIGINT"
-    x3 = f"xor({x2}, ({x2}) >> 27)"
-    x4 = f"((({x3})::UHUGEINT * {int(_MIX_C2)}::UHUGEINT) % {m})::UBIGINT"
-    return f"xor({x4}, ({x4}) >> 31)"
+# splitmix64's mixer — shared kernel + SQL replica live in common.py
+# (the MinHash permutation constants derive from the same mixer).
+from .common import mix64 as _mix64  # noqa: E402
+from .common import sql_mix64 as _sql_mix64  # noqa: E402
 
 
 def _hll_ranks(hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
