@@ -763,7 +763,9 @@ def q_quantile_sketch(sf_dir: str):
     per-type merge sorts the union by value and picks
     the smallest sample with cumweight ≥ ceil(p·N), the same discrete
     rule as the exact operator; total rank error ≤ Σ n_b/S ≈ N/QSK_S.
-    Rows-only entry (approximate by design); pytest asserts exactness in
+    SQL-oracle-exact (the sketch is deterministic end-to-end, so the
+    replica reproduces the segment midpoints, integer weights and merge
+    rule with window functions); pytest additionally asserts exactness in
     the small-bucket regime and the rank-error bound in the large."""
     import ray.data as rd
 
@@ -839,6 +841,49 @@ def q_quantile_sketch(sf_dir: str):
     )
 
 
+# quantile-sketch replica: the sketch is DETERMINISTIC (id-bucketed
+# sub-streams, segment-midpoint order statistics with segment-exact
+# integer weights), so the merge rule — smallest sample whose cumulative
+# weight reaches ceil(p*N) — is expressible with window functions. The
+# selected value only depends on value-level cumulative mass, so the
+# arbitrary tie order inside the window sum cannot diverge from numpy's
+# stable sort.
+_QSK_SQL = f"""
+WITH t AS (SELECT event_type, event_id // {QSK_BUCKET} AS bucket, value
+           FROM events),
+ranked AS (
+  SELECT event_type, bucket, value,
+         row_number() OVER (PARTITION BY event_type, bucket
+                            ORDER BY value) - 1 AS r,
+         count(*) OVER (PARTITION BY event_type, bucket) AS n
+  FROM t),
+big AS (SELECT DISTINCT event_type, bucket, n FROM ranked WHERE n > {QSK_S}),
+segs AS (
+  SELECT b.event_type, b.bucket,
+         ((i.j * b.n) // {QSK_S} + ((i.j + 1) * b.n) // {QSK_S}) // 2 AS mid,
+         ((i.j + 1) * b.n) // {QSK_S} - (i.j * b.n) // {QSK_S} AS w
+  FROM big b, range(0, {QSK_S}) i(j)),
+samples AS (
+  SELECT event_type, value, 1::BIGINT AS weight
+  FROM ranked WHERE n <= {QSK_S}
+  UNION ALL
+  SELECT r.event_type, r.value, s.w AS weight
+  FROM segs s JOIN ranked r
+    ON r.event_type = s.event_type AND r.bucket = s.bucket AND r.r = s.mid),
+fin AS (
+  SELECT event_type, value,
+         sum(weight) OVER (PARTITION BY event_type ORDER BY value
+                           ROWS UNBOUNDED PRECEDING) AS cw,
+         sum(weight) OVER (PARTITION BY event_type) AS nn
+  FROM samples)
+SELECT event_type,
+       max(nn)::BIGINT AS n_events,
+       min(CASE WHEN cw >= ceil(0.5 * nn) THEN value END) AS p50_est,
+       min(CASE WHEN cw >= ceil(0.9 * nn) THEN value END) AS p90_est,
+       min(CASE WHEN cw >= ceil(0.99 * nn) THEN value END) AS p99_est
+FROM fin GROUP BY event_type
+"""
+
 QUERIES = {
     "hll_distinct": q_hll_distinct,
     "cms_ngrams": q_cms_ngrams,
@@ -854,4 +899,5 @@ ORACLE_SQL = {
     "bloom_decontaminate": _BLOOM_SQL,
     "dsir_weights": _DSIR_SQL,
     "tfidf_keywords": _TFIDF_SQL,
+    "quantile_sketch": _QSK_SQL,
 }
