@@ -95,6 +95,58 @@ def delete_pod(index_dir: str, pod: str) -> int:
     return int(victims.size)
 
 
+URL_LIST_COLS = ["doc_id", "url", "title", "pod", "lang", "doctype",
+                 "doclen", "warc_ts"]
+URL_SEARCH_COLS = ["url", "title", "doctype", "pod"]
+URL_PAGE_SIZE = 100
+POD_PAGE_SIZE = 50
+
+
+def list_urls(index_dir: str, search: str | None = None, page: int = 0,
+              page_size: int = URL_PAGE_SIZE) -> pa.Table:
+    """K7 batch analog of the Flask-Admin Urls listing
+    (app/__init__.py:101-126 UrlsModelView): the metadata columns minus
+    the heavy ones (vector/snippet excluded — column_exclude_list),
+    substring search over url/title/doctype/pod (column_searchable_list),
+    page_size 100. Pagination is a stable (url, doc_id) sort + slice;
+    duplicate-url rows resolve to the build's winner and tombstoned docs
+    are hidden. The projection + search filter run in the columnar scan;
+    the sorted page is bounded output."""
+    from .maintenance import load_tombstones
+    from .segments import DocStore
+
+    store = DocStore(os.path.join(index_dir, "staging"))
+    cols = [c for c in URL_LIST_COLS if c in store.columns]
+    t = store.scan(columns=store.columns).select(cols)
+    if search:
+        hit = None
+        for c in URL_SEARCH_COLS:
+            if c in cols:
+                m = pc.match_substring(t[c], search)
+                hit = m if hit is None else pc.or_(hit, m)
+        t = t.filter(hit)
+    dead = load_tombstones(index_dir)
+    if dead.size:
+        t = t.filter(
+            pc.invert(pc.is_in(t["doc_id"], value_set=pa.array(dead)))
+        )
+    t = t.sort_by([("url", "ascending"), ("doc_id", "ascending")])
+    return t.slice(page * page_size, page_size)
+
+
+def list_pods(index_dir: str, search: str | None = None, page: int = 0,
+              page_size: int = POD_PAGE_SIZE) -> pa.Table:
+    """K7 batch analog of PodsModelView (app/__init__.py:147-166): pods
+    table minus the vector columns (column_exclude_list DS_vector /
+    word_vector → centroid), name substring search, page_size 50."""
+    t = pq.read_table(os.path.join(index_dir, "pods"))
+    t = t.select([c for c in t.schema.names if c != "centroid"])
+    if search:
+        t = t.filter(pc.match_substring(t["pod"], search))
+    t = t.sort_by([("pod", "ascending")])
+    return t.slice(page * page_size, page_size)
+
+
 def export_pod(index_dir: str, pod: str, out_path: str) -> int:
     """Shareable pod export: ``url;pod;lang`` per doc (W6). Returns #lines.
     Streams batch-by-batch from a pod-filtered projection scan."""

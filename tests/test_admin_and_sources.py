@@ -488,3 +488,51 @@ def test_term_cosine_reference_semantics():
     cos0, cov0 = term_cosine("one", {"a": 1}, "")
     assert math.isnan(cos0)        # zero doc side → NaN, like the reference
     assert cov0 == 0.0
+
+
+# -- K7 batch analog: admin listings ------------------------------------------
+
+def test_list_urls_pagination_and_search(admin_index):
+    from pears_lite_ray.index.admin import URL_LIST_COLS, list_urls
+
+    page0 = list_urls(admin_index, page_size=10)
+    assert page0.num_rows == 10
+    assert set(page0.schema.names) <= set(URL_LIST_COLS)
+    assert "snippet" not in page0.schema.names  # column_exclude_list
+    urls0 = page0["url"].to_pylist()
+    assert urls0 == sorted(urls0)
+    page1 = list_urls(admin_index, page=1, page_size=10)
+    assert page1["url"].to_pylist()[0] >= urls0[-1]
+    assert not set(page1["doc_id"].to_pylist()) & set(page0["doc_id"].to_pylist())
+
+    # substring search narrows over url/title/doctype/pod
+    needle = urls0[0].split("//")[1][:6]
+    hits = list_urls(admin_index, search=needle, page_size=1000)
+    assert 0 < hits.num_rows
+    assert all(
+        needle in (r["url"] or "") or needle in (r["title"] or "")
+        or needle in (r["doctype"] or "") or needle in (r["pod"] or "")
+        for r in hits.to_pylist()
+    )
+
+
+def test_list_pods_excludes_vectors(admin_index):
+    from pears_lite_ray.index.admin import list_pods
+
+    pods = list_pods(admin_index)
+    assert pods.num_rows > 0
+    assert "centroid" not in pods.schema.names
+    names = pods["pod"].to_pylist()
+    assert names == sorted(names)
+
+
+def test_list_urls_hides_tombstoned_pod(admin_index):
+    from pears_lite_ray.index.admin import delete_pod, list_pods, list_urls
+
+    pod = _pod_with_docs(admin_index)
+    before = list_urls(admin_index, page_size=10_000)
+    assert pod in set(before["pod"].to_pylist())
+    delete_pod(admin_index, pod)
+    after = list_urls(admin_index, page_size=10_000)
+    assert pod not in set(after["pod"].to_pylist())
+    assert pod not in set(list_pods(admin_index)["pod"].to_pylist())
