@@ -48,8 +48,8 @@ _DRIVER_ORDER = [
     "knn_cosine", "knn_lsh", "knn_ivf", "knn_pq",
     "embedding_dups", "semdedup", "kmeans_embed",
     # text-analysis entries touched this round or with heavier kernels
-    "unigram_logprob", "bigram_pmi", "weighted_sample", "decontaminate",
-    "top_ngrams", "source_top_terms",
+    "unigram_logprob", "bigram_pmi", "weighted_sample",
+    "source_top_terms", "stratified_split", "ccnet_buckets",
     # events family (event_zscore changed this round — zero-sd guard)
     "asof_join", "range_join", "value_quantiles", "event_zscore",
     # --- position 51+: stable, unchanged, driver-green r2+r3 (or rows-only
@@ -58,6 +58,7 @@ _DRIVER_ORDER = [
     "repetition", "sample", "pack_sequences", "chunk_overlap",
     "curriculum_order", "pii_scrub", "source_stats", "sliding_window",
     "windowed_events", "user_sessions", "compression_ratio",
+    "decontaminate", "top_ngrams",
 ]
 
 

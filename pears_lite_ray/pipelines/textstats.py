@@ -1163,6 +1163,148 @@ def q_bigram_pmi(sf_dir: str):
     )
 
 
+SPLIT_BUCKETS = 1000
+SPLIT_TEST_LT = 5     # buckets 0-4   → test  (0.5%)
+SPLIT_VALID_LT = 15   # buckets 5-14  → valid (1.0%)
+
+
+def q_stratified_split(sf_dir: str):
+    """Deterministic train/valid/test assignment by hashed doc identity —
+    the standard leakage-safe split for training corpora (hash-of-id, not
+    row position, so the split survives resharding, re-ingestion order and
+    incremental appends; near-dups of a doc land in the SAME split only if
+    dedup ran first, which is why the pipeline orders dedup → split).
+
+    Scale shape: a pure stateless map over one i64 column — no shuffle,
+    no state, resumable per block. ``bucket = mix64(doc_id) % 1000``;
+    the split thresholds give 0.5% test / 1% valid / 98.5% train.
+    SQL-oracle-exact via the splitmix64 replica."""
+    from .common import mix64
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        bucket = (mix64(ids.astype(np.uint64)) % np.uint64(SPLIT_BUCKETS)
+                  ).astype(np.int64)
+        split = np.where(
+            bucket < SPLIT_TEST_LT, "test",
+            np.where(bucket < SPLIT_VALID_LT, "valid", "train"),
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "bucket": pa.array(bucket, pa.int64()),
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    return read_documents(sf_dir, columns=["doc_id"]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet-style head/middle/tail quality buckets (Wenzek et al. 2020
+    §3.3): score every doc with the corpus's own bounded unigram LM (the
+    ``unigram_logprob`` model), then split each language into thirds by
+    score THRESHOLDS — t1/t2 = the smallest 6dp score whose cumulative doc
+    count reaches ⌈n/3⌉ / ⌈2n/3⌉, ties inclusive (threshold semantics, as
+    CCNet's per-language perplexity cutoffs).
+
+    Scale shape: the LM is the bounded top-V + OOV model (nothing
+    vocab-sized reaches the driver); the per-language score histogram is a
+    (lang, score) groupby-count whose prefix scan yields the two
+    thresholds — ONLY 2 scalars per language cross to the driver and
+    broadcast into the labeling pass. The corpus text never shuffles."""
+    import ray
+
+    from .common import shuffle_partitions
+
+    neglogp, oov_lp, _total = _unigram_model(sf_dir)
+    ref = ray.put((neglogp, oov_lp))
+
+    class ScoreStage:
+        def __init__(self, table_ref):
+            self.neglogp, self.oov = ray.get(table_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            toks, _ = tokens_per_row(batch)
+            lp, oov = self.neglogp, self.oov
+            means = np.zeros(len(toks), dtype=np.float64)
+            for i, words in enumerate(toks):
+                if words:
+                    s = np.fromiter(
+                        (lp.get(w, oov) for w in words), dtype=np.float64,
+                        count=len(words),
+                    )
+                    means[i] = s.sum() / len(words)
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "lang": batch["lang"],
+                    "mean_neglogp": pa.array(round6(means), pa.float64()),
+                }
+            )
+
+    scored = read_documents(
+        sf_dir, columns=["doc_id", "text", "lang"]
+    ).map_batches(
+        ScoreStage,
+        fn_constructor_kwargs={"table_ref": ref},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        num_cpus=1,
+    ).materialize()  # consumed twice: histogram pass + labeling pass
+
+    from ray.data.aggregate import Count
+
+    def thresholds(group: pa.Table) -> pa.Table:
+        v = group["mean_neglogp"].to_numpy()
+        c = group["c"].to_numpy()
+        order = np.argsort(v, kind="stable")
+        v, c = v[order], c[order]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        t1 = v[np.searchsorted(cum, -(-n // 3), side="left")]
+        t2 = v[np.searchsorted(cum, -(-2 * n // 3), side="left")]
+        return pa.table(
+            {
+                "lang": group["lang"].slice(0, 1),
+                "t1": pa.array([t1], pa.float64()),
+                "t2": pa.array([t2], pa.float64()),
+            }
+        )
+
+    th_rows = (
+        scored.groupby(["lang", "mean_neglogp"],
+                       num_partitions=shuffle_partitions(sf_dir))
+        .aggregate(Count(alias_name="c"))
+        .groupby("lang")
+        .map_groups(thresholds, batch_format="pyarrow")
+        .take_all()  # one row per LANGUAGE — bounded by design
+    )
+    th = ray.put({r["lang"]: (r["t1"], r["t2"]) for r in th_rows})
+
+    class LabelStage:
+        def __init__(self, th_ref):
+            self.th = ray.get(th_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            langs = batch["lang"].to_pylist()
+            m = batch["mean_neglogp"].to_numpy()
+            t1 = np.fromiter((self.th[lg][0] for lg in langs), np.float64,
+                             count=len(langs))
+            t2 = np.fromiter((self.th[lg][1] for lg in langs), np.float64,
+                             count=len(langs))
+            bucket = np.where(m <= t1, "head",
+                              np.where(m <= t2, "middle", "tail"))
+            return batch.append_column("bucket", pa.array(bucket, pa.string()))
+
+    return scored.map_batches(
+        LabelStage, fn_constructor_kwargs={"th_ref": th},
+        batch_format="pyarrow", concurrency=(1, 8), num_cpus=1,
+    )
+
+
 QUERIES = {
     "quality": q_quality,
     "token_count": q_token_count,
@@ -1183,6 +1325,8 @@ QUERIES = {
     "source_stats": q_source_stats,
     "unigram_logprob": q_unigram_logprob,
     "bigram_pmi": q_bigram_pmi,
+    "stratified_split": q_stratified_split,
+    "ccnet_buckets": q_ccnet_buckets,
 }
 
 def _sql_marker_list(lang: str) -> str:
@@ -1408,10 +1552,69 @@ ORDER BY pmi DESC, w1, w2
 LIMIT {PMI_TOP_K}"""
 
 
+# stratified_split / ccnet_buckets replicas: splitmix64 bucket hash; the
+# ccnet oracle reuses the bounded-LM per-doc scoring and derives the
+# per-language tertile thresholds with a window prefix scan (cw ≥ ⌈n/3⌉,
+# ties inclusive — identical to the engine's searchsorted-left rule).
+from .common import sql_mix64 as _sql_mix64_  # noqa: E402
+
+_SQL_SPLIT = f"""
+WITH b AS (
+  SELECT doc_id,
+         ({_sql_mix64_('doc_id::UBIGINT')} % {SPLIT_BUCKETS})::BIGINT
+           AS bucket
+  FROM documents)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < {SPLIT_TEST_LT} THEN 'test'
+            WHEN bucket < {SPLIT_VALID_LT} THEN 'valid'
+            ELSE 'train' END AS split
+FROM b"""
+
+_SQL_CCNET = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({SQL_TOKENS}) AS w FROM documents
+),
+cf AS (SELECT w, count(*)::BIGINT AS c FROM tok GROUP BY w),
+tot AS (SELECT sum(c)::DOUBLE AS t FROM cf),
+rk AS (SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS r FROM cf),
+topv AS (SELECT w, c::DOUBLE AS c FROM rk WHERE r <= {UNIGRAM_VOCAB_CAP}),
+oov AS (SELECT coalesce(sum(c), 0)::DOUBLE AS oc
+        FROM rk WHERE r > {UNIGRAM_VOCAB_CAP}),
+per_doc AS (
+  SELECT tok.doc_id, count(*)::BIGINT AS nt,
+         sum(-log2(coalesce(topv.c, oov.oc) / tot.t)) AS s
+  FROM tok LEFT JOIN topv USING (w) CROSS JOIN tot CROSS JOIN oov
+  GROUP BY tok.doc_id
+),
+scored AS (
+  SELECT d.doc_id, d.lang,
+         round(coalesce(p.s / p.nt, 0.0), 6) AS mean_neglogp
+  FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+),
+hist AS (SELECT lang, mean_neglogp, count(*)::BIGINT AS c
+         FROM scored GROUP BY lang, mean_neglogp),
+cum AS (SELECT lang, mean_neglogp,
+               sum(c) OVER (PARTITION BY lang ORDER BY mean_neglogp) AS cw,
+               sum(c) OVER (PARTITION BY lang) AS n
+        FROM hist),
+th AS (SELECT lang,
+              min(CASE WHEN cw >= ceil(n / 3.0) THEN mean_neglogp END) AS t1,
+              min(CASE WHEN cw >= ceil(2 * n / 3.0) THEN mean_neglogp END)
+                AS t2
+       FROM cum GROUP BY lang)
+SELECT s.doc_id, s.lang, s.mean_neglogp,
+       CASE WHEN s.mean_neglogp <= th.t1 THEN 'head'
+            WHEN s.mean_neglogp <= th.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s JOIN th ON s.lang = th.lang"""
+
+
 ORACLE_SQL = {
     "source_stats": _SQL_SOURCE_STATS,
     "unigram_logprob": _SQL_UNIGRAM,
     "bigram_pmi": _SQL_PMI,
+    "stratified_split": _SQL_SPLIT,
+    "ccnet_buckets": _SQL_CCNET,
     "pii_scrub": _SQL_PII,
     "decontaminate": _SQL_DECONTAMINATE,
     "top_ngrams": _SQL_TOP_NGRAMS,

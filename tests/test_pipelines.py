@@ -886,3 +886,106 @@ def test_embedding_dups_gated_above_row_cap(ray_session):
         q_embedding_dups(sf, row_cap=10)
     # under the cap the lazy dataset still constructs fine
     assert q_embedding_dups(sf) is not None
+
+
+def test_stratified_split_hash_assignment(ray_session, tmp_path):
+    """Split is a pure function of doc_id (reshard/reorder-proof), matches
+    the splitmix64 formula and the DuckDB replica exactly."""
+    import duckdb
+
+    from pears_lite_ray.pipelines.common import mix64
+    from pears_lite_ray.pipelines.textstats import (
+        ORACLE_SQL,
+        SPLIT_BUCKETS,
+        SPLIT_TEST_LT,
+        SPLIT_VALID_LT,
+        q_stratified_split,
+    )
+
+    ids = np.arange(0, 4000, 7, dtype=np.int64)  # sparse, non-contiguous
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(["x"] * ids.size, pa.string()),
+            }
+        ),
+        os.path.join(str(tmp_path), "documents.parquet"),
+    )
+    out = (
+        _tbl(q_stratified_split(str(tmp_path)))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    exp_bucket = (mix64(ids.astype(np.uint64)) % np.uint64(SPLIT_BUCKETS)
+                  ).astype(np.int64)
+    assert out["bucket"].to_numpy().tolist() == exp_bucket.tolist()
+    assert (
+        (out["split"] == "test") == (out["bucket"] < SPLIT_TEST_LT)
+    ).all()
+    assert (
+        (out["split"] == "valid")
+        == ((out["bucket"] >= SPLIT_TEST_LT) & (out["bucket"] < SPLIT_VALID_LT))
+    ).all()
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(str(tmp_path), 'documents.parquet')}'"
+    )
+    oracle = con.sql(ORACLE_SQL["stratified_split"]).df().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert oracle["bucket"].tolist() == out["bucket"].tolist()
+    assert oracle["split"].tolist() == out["split"].tolist()
+
+
+def test_ccnet_buckets_per_language_tertiles(ray_session, tmp_path):
+    """head/middle/tail are score-threshold tertiles PER LANGUAGE: bucket
+    order follows the LM score, thresholds hit the ceil(n/3) ranks, and
+    the DuckDB replica agrees row-for-row."""
+    import duckdb
+
+    from pears_lite_ray.pipelines.textstats import ORACLE_SQL, q_ccnet_buckets
+
+    rng = np.random.RandomState(5)
+    texts, langs = [], []
+    common = "alpha beta gamma delta epsilon".split()
+    for i in range(30):
+        # rarer words → higher neglogp; vary the rare fraction per doc
+        k = i % 10
+        words = ["alpha"] * (10 - k) + [f"rare{i}_{j}" for j in range(k)]
+        rng.shuffle(words)
+        texts.append(" ".join(words) + " " + " ".join(common))
+        langs.append("en" if i % 2 == 0 else "de")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(30), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+            }
+        ),
+        os.path.join(str(tmp_path), "documents.parquet"),
+    )
+    out = _tbl(q_ccnet_buckets(str(tmp_path))).to_pandas()
+    assert len(out) == 30
+    order = {"head": 0, "middle": 1, "tail": 2}
+    for lang, g in out.groupby("lang"):
+        g = g.sort_values("mean_neglogp")
+        ranks = [order[b] for b in g["bucket"]]
+        assert ranks == sorted(ranks)          # buckets follow the score
+        n = len(g)
+        n_head = (g["bucket"] == "head").sum()
+        n_mid = (g["bucket"] == "middle").sum()
+        assert n_head >= -(-n // 3) - 0        # threshold reaches ceil(n/3)
+        assert n_head + n_mid >= -(-2 * n // 3)
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(str(tmp_path), 'documents.parquet')}'"
+    )
+    oracle = con.sql(ORACLE_SQL["ccnet_buckets"]).df().sort_values(
+        "doc_id").reset_index(drop=True)
+    mine = out.sort_values("doc_id").reset_index(drop=True)
+    assert oracle["bucket"].tolist() == mine["bucket"].tolist()
+    assert np.allclose(oracle["mean_neglogp"], mine["mean_neglogp"])
