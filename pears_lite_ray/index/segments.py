@@ -106,7 +106,13 @@ class _ShardFooters:
 
 
 class SegmentStore:
-    """Posting-list lookup over the sharded segments directory."""
+    """Posting-list lookup over the sharded segments directory.
+
+    An instance is bound to ONE index version: footers, dataset handles
+    and term rows are cached for the store's lifetime, so after a
+    ``compact``/``merge`` rewrites the segments, construct a fresh
+    ``QueryEngine`` (the maintenance verbs already work on directories,
+    not live stores)."""
 
     CACHE_CAP = 4096  # term rows kept hot (the reference re-unpickles the
     #                   ENTIRE index per query — overlap_calculation.py:125)

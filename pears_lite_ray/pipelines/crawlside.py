@@ -41,11 +41,12 @@ exactly like the url_dedup / csv / stego / multimodal entries — urls,
 robots policies and the link graph are synthesized DETERMINISTICALLY from
 (doc_id, source) and replicated by the DuckDB oracles rule-for-rule.
 
-Scale notes: ``robots_filter`` shuffles on the domain key (same skew shape
-as ``domain_cap``); the real-world robots table (one row per domain) would
-be an equi-join against it — never a driver broadcast (10^8 domains).
-``link_frontier``'s per-level join partitions on src doc_id; the edge
-table never moves to the driver.
+Scale notes: ``robots_filter`` is a stateless zero-shuffle map (the gate
+needs no cross-row state; a real-world robots table — one row per domain,
+10^8 rows — would reach it by equi-join on domain, never a driver
+broadcast or a skew-carrying domain groupby). ``link_frontier``'s
+per-level join partitions on src doc_id; the edge table never moves to
+the driver.
 """
 
 from __future__ import annotations
@@ -127,45 +128,53 @@ def parse_disallowed(domain_url: str, robots: str) -> list[str]:
 
 def q_robots_filter(sf_dir: str):
     """(doc_id, url, domain, n_rules, matched, ref_allowed, allowed) —
-    canonical url gated by its domain's robots policy."""
+    canonical url gated by its domain's robots policy.
 
-    def with_domain(batch: pa.Table) -> pa.Table:
-        urls = canonicalize_urls(synth_urls(batch["doc_id"], batch["source"]))
+    STATELESS map, no shuffle: the policy derives deterministically from
+    the domain, so each batch parses robots.txt once per unique domain it
+    holds and evaluates each rule as one vectorized regex pass over that
+    domain's row mask. (With a materialized robots TABLE instead of a
+    derivable policy, this becomes a broadcast lookup for a small table or
+    an equi-join on domain — never a groupby: domain groups carry the
+    crawl's host skew, and the gate needs no cross-row state.)"""
+
+    def gate(batch: pa.Table) -> pa.Table:
+        urls_arr = canonicalize_urls(synth_urls(batch["doc_id"], batch["source"]))
+        domains = registered_domains(urls_arr)
+        doms = np.asarray(domains.to_pylist(), dtype=object)
+        n = len(batch)
+        matched = np.zeros(n, dtype=bool)
+        n_rules = np.zeros(n, dtype=np.int64)
+        for domain in np.unique(doms):  # few uniques per batch
+            rules = parse_disallowed(
+                "https://" + domain, robots_txt_for(domain)
+            )
+            mask = doms == domain
+            n_rules[mask] = len(rules)
+            if not rules:
+                continue
+            sub = urls_arr.filter(pa.array(mask))
+            hit = np.zeros(int(mask.sum()), dtype=bool)
+            for pat in rules:  # ≤2 rules: one vectorized regex pass each
+                hit |= pc.match_substring_regex(
+                    sub, pat.replace("*", ".*")
+                ).to_numpy(zero_copy_only=False)
+            matched[mask] = hit
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "url": urls,
-                "domain": registered_domains(urls),
-            }
-        )
-
-    def gate(group: pa.Table) -> pa.Table:
-        domain = group["domain"][0].as_py()
-        rules = parse_disallowed("https://" + domain, robots_txt_for(domain))
-        urls = group["url"].combine_chunks()
-        matched = np.zeros(len(group), dtype=bool)
-        for pat in rules:  # ≤3 rules: one vectorized regex pass per rule
-            hit = pc.match_substring_regex(urls, pat.replace("*", ".*"))
-            matched |= hit.to_numpy(zero_copy_only=False)
-        n = len(rules)
-        return pa.table(
-            {
-                "doc_id": group["doc_id"],
-                "url": group["url"],
-                "domain": group["domain"],
-                "n_rules": pa.array(np.full(len(group), n), pa.int64()),
+                "url": urls_arr,
+                "domain": domains,
+                "n_rules": pa.array(n_rules, pa.int64()),
                 "matched": pa.array(matched, pa.bool_()),
                 # reference quirk: blocked iff ANY rule exists (access.py:38)
-                "ref_allowed": pa.array(np.full(len(group), n == 0), pa.bool_()),
+                "ref_allowed": pa.array(n_rules == 0, pa.bool_()),
                 "allowed": pa.array(~matched, pa.bool_()),
             }
         )
 
-    return (
-        read_documents(sf_dir, columns=["doc_id", "source"])
-        .map_batches(with_domain, batch_format="pyarrow")
-        .groupby("domain", num_partitions=shuffle_partitions(sf_dir))
-        .map_groups(gate, batch_format="pyarrow")
+    return read_documents(sf_dir, columns=["doc_id", "source"]).map_batches(
+        gate, batch_format="pyarrow"
     )
 
 

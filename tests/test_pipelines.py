@@ -989,3 +989,15 @@ def test_ccnet_buckets_per_language_tertiles(ray_session, tmp_path):
     mine = out.sort_values("doc_id").reset_index(drop=True)
     assert oracle["bucket"].tolist() == mine["bucket"].tolist()
     assert np.allclose(oracle["mean_neglogp"], mine["mean_neglogp"])
+
+
+def test_driver_order_covers_every_entry():
+    """The driver's gate records only the first 50 queries() entries, so
+    every entry must have a DELIBERATE position in _DRIVER_ORDER — a new
+    pipeline silently appended at the end would never be driver-verified."""
+    from pears_lite_ray import pipelines
+
+    q = pipelines.all_queries()
+    order = pipelines._DRIVER_ORDER
+    assert sorted(q) == sorted(order)
+    assert list(q) == order  # dict order is exactly the declared order
