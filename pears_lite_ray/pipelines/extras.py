@@ -458,7 +458,7 @@ class SynthMediaStage:
     clip and one video per doc, all derived from the doc's own bytes."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..stages.multimodal import pack_audio, pack_image, pack_video
+        from ..stages.multimodal import pack_video, pack_wav
 
         ids, kinds, payloads = [], [], []
         from ..sources.stegopng import encode_png_bytes
@@ -472,11 +472,13 @@ class SynthMediaStage:
             ids.append(d)
             kinds.append("image")
             payloads.append(encode_png_bytes(img.reshape(IMG_H, IMG_W)))
+            # audio payloads are REAL RIFF/WAVE containers (PCM16 mono),
+            # same rationale as the PNG images above
             au = _payload_bytes(text, AUDIO_SAMPLES, d % 89).astype(np.int16)
             au = (au.astype(np.int32) * 64 - 8192).astype(np.int16)
             ids.append(d)
             kinds.append("audio")
-            payloads.append(pack_audio(AUDIO_SR, au))
+            payloads.append(pack_wav(AUDIO_SR, au))
             vid = _payload_bytes(text, VID_W * VID_H * VID_FRAMES, d % 83)
             ids.append(d)
             kinds.append("video")
@@ -552,6 +554,7 @@ def q_multimodal_audio(sf_dir: str):
     return (
         _media_ds(sf_dir, "audio")
         .map_batches(DecodeAudioStage, batch_format="pyarrow", batch_size=128,
+                     fn_constructor_kwargs={"codec": "wav"},
                      concurrency=pool(2), num_cpus=1)
         .map_batches(round_rms, batch_format="pyarrow")
     )

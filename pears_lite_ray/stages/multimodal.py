@@ -14,6 +14,9 @@ environment, so the byte-level decode is pluggable:
   pure-Python PNG reader shared with the stego source
   (sources/stegopng.py: zlib inflate + scanline unfilter, 8-bit
   gray/RGB/RGBA); color decodes to Rec.601 integer luma.
+* ``codec="wav"`` (audio; the driver entry's codec) — a REAL RIFF/WAVE
+  chunk-walk parser (PCM16 mono, fmt validated, even-byte chunk padding).
+  Video has no pure-Python container worth faking; it stays ``raw``.
 
 Scale notes: payloads are large → callers should pass a SMALL
 ``batch_size`` (payload bytes × batch_size × concurrency must fit the
@@ -51,6 +54,19 @@ def pack_image(w: int, h: int, pixels: np.ndarray) -> bytes:
 
 def pack_audio(sr: int, samples: np.ndarray) -> bytes:
     return b"AUD1" + struct.pack("<I", sr) + samples.astype(np.int16).tobytes()
+
+
+def pack_wav(sr: int, samples: np.ndarray) -> bytes:
+    """Canonical 44-byte-header RIFF/WAVE container (PCM16 mono) — the
+    real audio container the wav codec path decodes."""
+    data = samples.astype("<i2").tobytes()
+    return b"".join(
+        [
+            b"RIFF", struct.pack("<I", 36 + len(data)), b"WAVE",
+            b"fmt ", struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16),
+            b"data", struct.pack("<I", len(data)), data,
+        ]
+    )
 
 
 def pack_video(w: int, h: int, frames: np.ndarray) -> bytes:
@@ -199,15 +215,55 @@ class FrameSampleStage:
 
 
 class DecodeAudioStage:
-    """AUD1 payload → (sample_rate, n_samples, rms) summary row."""
+    """payload → (sample_rate, n_samples, rms) summary row. Codecs:
+    ``raw`` (AUD1 test format) or ``wav`` — a REAL RIFF/WAVE chunk-walk
+    parser (PCM16 mono; fmt validated, chunk padding honored)."""
+
+    def __init__(self, codec: str = "raw"):
+        if codec == "raw":
+            self._decode = self._decode_raw
+        elif codec == "wav":
+            self._decode = self._decode_wav
+        else:
+            raise ValueError(f"unknown codec {codec}")
+
+    @staticmethod
+    def _decode_raw(payload: bytes) -> tuple[int, np.ndarray]:
+        if payload[:4] != b"AUD1":
+            raise ValueError("not an AUD1 payload")
+        (sr,) = struct.unpack_from("<I", payload, 4)
+        return sr, np.frombuffer(payload, dtype=np.int16, offset=8)
+
+    @staticmethod
+    def _decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE payload")
+        sr, samples, off = None, None, 12
+        while off + 8 <= len(payload):
+            cid = payload[off:off + 4]
+            (size,) = struct.unpack_from("<I", payload, off + 4)
+            body = off + 8
+            if cid == b"fmt ":
+                fmt, ch, rate, _br, _ba, bits = struct.unpack_from(
+                    "<HHIIHH", payload, body
+                )
+                if fmt != 1 or ch != 1 or bits != 16:
+                    raise ValueError(
+                        f"unsupported WAVE format (fmt={fmt} ch={ch} bits={bits})"
+                    )
+                sr = rate
+            elif cid == b"data":
+                samples = np.frombuffer(payload, dtype="<i2", offset=body,
+                                        count=size // 2)
+            off = body + size + (size & 1)  # RIFF chunks pad to even
+        if sr is None or samples is None:
+            raise ValueError("WAVE missing fmt/data chunk")
+        return sr, samples
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         srs, ns, rms = [], [], []
         for payload in batch["payload"].to_pylist():
-            if payload[:4] != b"AUD1":
-                raise ValueError("not an AUD1 payload")
-            (sr,) = struct.unpack_from("<I", payload, 4)
-            samples = np.frombuffer(payload, dtype=np.int16, offset=8)
+            sr, samples = self._decode(payload)
             srs.append(sr)
             ns.append(samples.size)
             rms.append(float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))

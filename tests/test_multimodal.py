@@ -125,3 +125,47 @@ def test_png_codec_roundtrip_gray_and_rgb_luma():
 def test_unknown_codec_rejected():
     with pytest.raises(ValueError):
         DecodeImageStage(codec="pil")
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    """pack_wav emits a canonical RIFF/WAVE container; the wav decoder
+    walks chunks (extra chunk before data, odd-size padding) and rejects
+    non-PCM16 formats."""
+    import struct
+
+    import numpy as np
+
+    from pears_lite_ray.stages.multimodal import DecodeAudioStage, pack_wav
+
+    samples = (np.arange(100, dtype=np.int16) * 17 - 800).astype(np.int16)
+    wav = pack_wav(22050, samples)
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+    t = pa.table(
+        {
+            "media_id": pa.array([1], pa.int64()),
+            "payload": pa.array([wav], pa.binary()),
+        }
+    )
+    out = DecodeAudioStage(codec="wav")(t)
+    assert out["sample_rate"].to_pylist() == [22050]
+    assert out["n_samples"].to_pylist() == [100]
+    exp = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+    assert abs(out["rms"].to_pylist()[0] - exp) < 1e-9
+
+    # chunk walk: LIST chunk with odd size (padded) inserted before data
+    head, data_chunk = wav[:36], wav[36:]
+    odd = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    wav2 = (b"RIFF" + struct.pack("<I", len(head) + len(odd) + len(data_chunk) - 8)
+            + head[8:] + odd + data_chunk)
+    out2 = DecodeAudioStage(codec="wav")(t.set_column(
+        1, "payload", pa.array([wav2], pa.binary())))
+    assert out2["n_samples"].to_pylist() == [100]
+
+    # non-PCM fmt rejected
+    bad = bytearray(wav)
+    bad[20] = 3  # fmt code -> IEEE float
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        DecodeAudioStage(codec="wav")(t.set_column(
+            1, "payload", pa.array([bytes(bad)], pa.binary())))
