@@ -286,29 +286,40 @@ def _filter_winners(ds, dup_ids: np.ndarray, winner_ts: dict | None,
     repeat deterministically (identical rows ⇒ identical postings).
 
     ``winner_ts is None`` = the DISTRIBUTED path (dup set over
-    DUP_DRIVER_ROW_CAP): a groupby(doc_id) argmax picks each doc's
-    (warc_ts desc, url asc) winner row — an honest full shuffle of ``ds``,
-    the right cost in a dup-heavy crawl where no broadcast fits."""
+    DUP_DRIVER_ROW_CAP): each doc's (warc_ts desc, url asc) winner row is
+    kept by a segment kernel — an honest full shuffle of ``ds``, the right
+    cost in a dup-heavy crawl where no broadcast fits, with one UDF call
+    per hash bucket rather than per doc (a dup-heavy crawl has ~N groups;
+    see ``pipelines.common.segmented_group_map``)."""
     if not dup_ids.size:
         return ds
     if winner_ts is None:
         import ray
 
+        from ..pipelines.common import segmented_group_map
+
         if num_partitions is None:
             cpus = int(ray.cluster_resources().get("CPU", 4))
             num_partitions = 4 * cpus
 
-        def pick_winner(group: pa.Table) -> pa.Table:
-            drop = [c for c in ("warc_ts", "url") if c in group.column_names]
-            if len(group) == 1:
-                return group.drop_columns(drop)
-            ts = group["warc_ts"].cast(pa.int64()).to_numpy()
-            urls = np.asarray(group["url"].to_pylist(), dtype=object)
-            best = np.lexsort((urls, -ts))[0]
-            return group.take(pa.array([best])).drop_columns(drop)
+        def pick_winner_bucket(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+            mask = np.zeros(tbl.num_rows, dtype=bool)
+            mask[starts] = True
+            out = tbl.filter(pa.array(mask))
+            return out.drop_columns(
+                [c for c in ("warc_ts", "url") if c in out.column_names]
+            )
 
-        return ds.groupby("doc_id", num_partitions=num_partitions).map_groups(
-            pick_winner, batch_format="pyarrow"
+        return segmented_group_map(
+            ds,
+            "doc_id",
+            pick_winner_bucket,
+            num_partitions=num_partitions,
+            sort_keys=[
+                ("doc_id", "ascending"),
+                ("warc_ts", "descending"),
+                ("url", "ascending"),
+            ],
         )
     dup_set = pa.array(dup_ids)
 

@@ -324,6 +324,116 @@ def sql_mix64(expr: str) -> str:
     return f"xor({x4}, ({x4}) >> 31)"
 
 
+# -- segment-vectorized grouped map ----------------------------------------
+# Ray's groupby(k).map_groups(fn) slices the sorted block and calls fn once
+# PER GROUP (ray/data/grouped_data.py::_apply_udf_to_groups) — fine for a
+# handful of big groups, ruinous for corpus-keyed groupbys where nearly
+# every url/hash/doc forms its own 1-row group: the per-group Python call +
+# slice + output concat dominates, and at web scale "N groups" is billions.
+# segmented_group_map keeps the exact same semantics and the same single
+# hash shuffle, but co-locates rows by a BUCKET of the key (vectorized FNV /
+# splitmix hash mod n_buckets) and calls the UDF once per bucket, handing it
+# the bucket's rows sorted by key plus the segment starts — so the per-group
+# work happens across every group of the bucket at once via segment kernels
+# (np.minimum.reduceat, np.repeat, rank = arange - repeat(starts)).
+
+
+def string_fnv(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Vectorized FNV-1a per value of an Arrow string column (zero-copy
+    buffer walk; null-free group keys assumed)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    arr = col.cast(pa.large_utf8())
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    buf = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return fnv1a_slices(buf, off[:-1], np.diff(off))
+
+
+def key_buckets(col: pa.ChunkedArray | pa.Array, n_buckets: int) -> np.ndarray:
+    """Stable bucket id per key value: FNV-1a for strings, splitmix64 mix
+    for integers — equal keys always land in the same bucket, in every
+    worker process."""
+    typ = col.type
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        h = string_fnv(col)
+    else:
+        vals = (
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        ).to_numpy(zero_copy_only=False)
+        h = mix64(vals.astype(np.uint64))
+    return (h % np.uint64(n_buckets)).astype(np.int64)
+
+
+def segmented_group_map(
+    ds: rd.Dataset,
+    key: str,
+    fn,
+    *,
+    num_partitions: int,
+    sort_keys: list[tuple[str, str]] | None = None,
+    buckets_per_partition: int = 4,
+) -> rd.Dataset:
+    """``groupby(key).map_groups(per_group_fn)`` semantics with one UDF call
+    per hash bucket instead of one per group.
+
+    ``fn(table, starts)`` receives a bucket's rows sorted by ``sort_keys``
+    (default ``[(key, "ascending")]`` — extra keys order rows WITHIN a
+    group, e.g. ``[(key, "ascending"), ("doc_id", "ascending")]`` for a
+    per-group rank) and ``starts``, the row index of each group's first row.
+    It returns the bucket's output table; per-group work must be expressed
+    as segment kernels over ``starts`` (reduceat / repeat / arange).
+    """
+    n_buckets = max(1, num_partitions * buckets_per_partition)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bucket", pa.array(key_buckets(batch[key], n_buckets), pa.int64())
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["_bucket"])
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            tbl, sort_keys=sort_keys or [(key, "ascending")]
+        )
+        tbl = tbl.take(order)
+        kc = tbl[key].combine_chunks()
+        n = len(kc)
+        if n == 0:
+            starts = np.empty(0, dtype=np.int64)
+        else:
+            neq = pc.not_equal(kc.slice(1), kc.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            starts = np.r_[0, np.nonzero(neq)[0] + 1]
+        return fn(tbl, starts)
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bucket", num_partitions=num_partitions)
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def segment_broadcast_min(values: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Per-segment min of ``values`` broadcast back to every row."""
+    if values.size == 0:
+        return values
+    counts = np.diff(np.r_[starts, values.size])
+    return np.repeat(np.minimum.reduceat(values, starts), counts)
+
+
+def segment_rank(n: int, starts: np.ndarray) -> np.ndarray:
+    """1-based rank of each row within its segment (rows already sorted)."""
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    counts = np.diff(np.r_[starts, n])
+    return np.arange(1, n + 1, dtype=np.int64) - np.repeat(starts, counts)
+
+
 def round6(x: np.ndarray) -> np.ndarray:
     """Round half AWAY from zero at 6dp — DuckDB's round() semantics.
 

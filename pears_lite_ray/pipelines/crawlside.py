@@ -233,12 +233,13 @@ def q_link_frontier(sf_dir: str):
     levels = [frontier]
     for depth in range(1, FRONTIER_MAX_DEPTH + 1):
 
-        def next_level(group: pa.Table, d: int = depth) -> pa.Table:
-            # per-level distinct: one row per dst, at this level's depth
+        def level_rows(t: pa.Table, d: int = depth) -> pa.Table:
+            # distinct dst at this level's depth (count() only forces the
+            # vectorized hash aggregate — no per-group UDF calls)
             return pa.table(
                 {
-                    "doc_id": group["dst"].slice(0, 1),
-                    "depth": pa.array([d], pa.int64()),
+                    "doc_id": t["dst"],
+                    "depth": pa.array(np.full(t.num_rows, d, np.int64)),
                 }
             )
 
@@ -251,25 +252,21 @@ def q_link_frontier(sf_dir: str):
                 right_on=("doc_id",),
             )
             .groupby("dst", num_partitions=parts)
-            .map_groups(next_level, batch_format="pyarrow")
+            .count()
+            .map_batches(level_rows, batch_format="pyarrow")
         )
         levels.append(frontier)
 
-    def min_depth(group: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": group["doc_id"].slice(0, 1),
-                "depth": pa.array(
-                    [pc.min(group["depth"]).as_py()], pa.int64()
-                ),
-            }
-        )
+    def min_rename(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "depth": t["min(depth)"]})
 
     out = levels[0]
     for lv in levels[1:]:
         out = out.union(lv)
-    return out.groupby("doc_id", num_partitions=parts).map_groups(
-        min_depth, batch_format="pyarrow"
+    return (
+        out.groupby("doc_id", num_partitions=parts)
+        .min("depth")
+        .map_batches(min_rename, batch_format="pyarrow")
     )
 
 

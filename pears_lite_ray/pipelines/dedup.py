@@ -44,7 +44,10 @@ from .common import (
     pool,
     read_documents,
     round6,
+    segment_broadcast_min,
+    segmented_group_map,
     shingle_stream,
+    shuffle_partitions,
     sql_fnv1a,
     sql_mix64,
     tokens_per_row,
@@ -119,11 +122,12 @@ def q_exact_dedup(sf_dir: str):
     """Every doc mapped to the canonical (min doc_id) holder of its exact
     text (J3 semantics ↔ mk_page_vector.py:37, by content not url).
 
-    ONE hash-partitioned groupby(text_md5) whose per-group map attaches
-    the canonical (min doc_id) to every member row — all of a hash's rows
-    are co-located by the shuffle, so no second pass, no join, no driver
-    state. (Round-2 used aggregate + equi-join: same semantics, but two
-    standing hash-operator actor fleets for what one grouped map does.)"""
+    ONE hash-partitioned shuffle co-locates each hash's rows; the
+    per-group min is a segment kernel over every group of a bucket at once
+    (``common.segmented_group_map`` — nearly every doc forms its own
+    1-row group, so a per-group UDF call would be Python-call-bound).
+    (Round-2 used aggregate + equi-join: same semantics, but two standing
+    hash-operator actor fleets for what one grouped map does.)"""
 
     def hash_batch(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
@@ -134,22 +138,17 @@ def q_exact_dedup(sf_dir: str):
             }
         )
 
-    def attach_canonical(group: pa.Table) -> pa.Table:
-        ids = group["doc_id"].to_numpy()
-        canon = np.full(ids.size, ids.min(), dtype=np.int64)
-        return pa.table(
-            {
-                "doc_id": group["doc_id"],
-                "text_md5": group["text_md5"],
-                "canonical_doc_id": pa.array(canon, pa.int64()),
-            }
-        )
+    def attach_canonical(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        canon = segment_broadcast_min(tbl["doc_id"].to_numpy(), starts)
+        return tbl.append_column("canonical_doc_id", pa.array(canon, pa.int64()))
 
-    return (
-        read_documents(sf_dir, columns=["doc_id", "text"])
-        .map_batches(hash_batch, batch_format="pyarrow")
-        .groupby("text_md5")
-        .map_groups(attach_canonical, batch_format="pyarrow")
+    return segmented_group_map(
+        read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+            hash_batch, batch_format="pyarrow"
+        ),
+        "text_md5",
+        attach_canonical,
+        num_partitions=shuffle_partitions(sf_dir),
     )
 
 

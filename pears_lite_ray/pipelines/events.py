@@ -16,7 +16,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
-from .common import round6
+from .common import round6, shuffle_partitions
 
 WINDOW_US = 3_600_000_000  # 1 hour
 
@@ -86,33 +86,60 @@ def q_windowed_events(sf_dir: str):
 
 def q_user_sessions(sf_dir: str):
     """Sessionization (30-min inactivity gap) per user — the stateful
-    streaming-window shape: groupby(user) then a vectorized per-group scan
-    ordered by ts. Returns per-user session count + max session length."""
+    streaming-window shape: co-locate each user's events, scan ordered by
+    ts. Returns per-user session count + max session length.
+
+    Segment-vectorized (``common.segmented_group_map``): user groups are
+    tiny and numerous (the crawl-log shape at web scale), so the session
+    scan runs across every user of a hash bucket at once — session breaks
+    are a boolean mask over the (user, ts)-sorted rows, per-user counts and
+    maxima are reduceat segments."""
     GAP_US = 1_800_000_000
 
-    def sessions(group: pa.Table) -> pa.Table:
-        ts = np.sort(group["ts"].cast(pa.int64()).to_numpy())
-        gaps = np.diff(ts)
-        n_sessions = 1 + int((gaps > GAP_US).sum())
-        # session lengths in events
-        breaks = np.r_[0, np.nonzero(gaps > GAP_US)[0] + 1, ts.size]
-        max_len = int(np.diff(breaks).max())
+    def sessions_bucket(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = tbl.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "n_sessions": pa.array([], pa.int64()),
+                    "max_session_events": pa.array([], pa.int64()),
+                }
+            )
+        ts = tbl["ts"].cast(pa.int64()).to_numpy()
+        # a row opens a new session iff it starts its user's segment or
+        # follows a gap > GAP_US within the segment
+        new_sess = np.zeros(n, dtype=bool)
+        new_sess[starts] = True
+        new_sess[1:] |= (ts[1:] - ts[:-1]) > GAP_US
+        counts = np.diff(np.r_[starts, n])
+        n_sessions = np.add.reduceat(new_sess.astype(np.int64), starts)
+        sess_idx = np.nonzero(new_sess)[0]
+        sess_len = np.diff(np.r_[sess_idx, n])
+        # sessions lie contiguously within users; each user's first session
+        # starts exactly at its segment start
+        offs = np.searchsorted(sess_idx, starts)
+        max_len = np.maximum.reduceat(sess_len, offs)
         return pa.table(
             {
-                "user_id": pa.array([int(group["user_id"][0].as_py())], pa.int64()),
-                "n_events": pa.array([ts.size], pa.int64()),
-                "n_sessions": pa.array([n_sessions], pa.int64()),
-                "max_session_events": pa.array([max_len], pa.int64()),
+                "user_id": tbl["user_id"].take(pa.array(starts)),
+                "n_events": pa.array(counts, pa.int64()),
+                "n_sessions": pa.array(n_sessions, pa.int64()),
+                "max_session_events": pa.array(max_len, pa.int64()),
             }
         )
 
-    from .common import strip_schema_metadata
+    from .common import segmented_group_map, strip_schema_metadata
 
-    return (
-        rd.read_parquet(events_path(sf_dir), columns=["ts", "user_id"])
-        .map_batches(strip_schema_metadata, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(sessions, batch_format="pyarrow")
+    return segmented_group_map(
+        rd.read_parquet(events_path(sf_dir), columns=["ts", "user_id"]).map_batches(
+            strip_schema_metadata, batch_format="pyarrow"
+        ),
+        "user_id",
+        sessions_bucket,
+        num_partitions=shuffle_partitions(),
+        sort_keys=[("user_id", "ascending"), ("ts", "ascending")],
     )
 
 

@@ -44,6 +44,8 @@ from .common import (
     SQL_TOKENS,
     read_documents,
     round6,
+    segment_rank,
+    segmented_group_map,
     shuffle_partitions,
     sql_fnv1a,
     tokens_per_row,
@@ -487,7 +489,8 @@ def q_tfidf_keywords(sf_dir: str):
     df aggregate and the score join (one corpus read, materialized once);
     df reaches tf rows through a term equi-join, NOT a driver-side
     vocabulary broadcast — a raw-token vocabulary at 100 TB is itself a
-    large table. Final top-k is a per-doc ``map_groups``."""
+    large table. Final top-k is a per-doc segment kernel
+    (``common.segmented_group_map`` — one UDF call per bucket, not per doc)."""
     n_parts = shuffle_partitions(sf_dir)
 
     def tf_rows(batch: pa.Table) -> pa.Table:
@@ -535,18 +538,15 @@ def q_tfidf_keywords(sf_dir: str):
             }
         )
 
-    def df_sum(group: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "term": pa.array([group["term"][0].as_py()], pa.string()),
-                "df": pa.array([int(group["df"].to_numpy().sum())], pa.int64()),
-            }
-        )
+    def df_rename(t: pa.Table) -> pa.Table:
+        return pa.table({"term": t["term"], "df": t["sum(df)"]})
 
+    # built-in vectorized hash aggregate — no per-term UDF calls
     df = (
         tf.map_batches(df_partial, batch_format="pyarrow")
-        .groupby("term")
-        .map_groups(df_sum, batch_format="pyarrow")
+        .groupby("term", num_partitions=n_parts)
+        .sum("df")
+        .map_batches(df_rename, batch_format="pyarrow")
     )
 
     scored = tf.join(
@@ -554,24 +554,47 @@ def q_tfidf_keywords(sf_dir: str):
         on=("term",),
     )
 
-    def topk(group: pa.Table) -> pa.Table:
-        tf_v = group["tf"].to_numpy().astype(np.float64)
-        df_v = group["df"].to_numpy().astype(np.float64)
+    def score_batch(batch: pa.Table) -> pa.Table:
+        tf_v = batch["tf"].to_numpy().astype(np.float64)
+        df_v = batch["df"].to_numpy().astype(np.float64)
         idf = np.log((1.0 + n_docs) / (1.0 + df_v)) + 1.0
-        score = round6(tf_v * idf)
-        terms = np.array(group["term"].to_pylist(), dtype=object)
-        order = np.lexsort((terms, -score))[:TFIDF_TOPK]
         return pa.table(
             {
-                "doc_id": group["doc_id"].take(pa.array(order)),
-                "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
-                "term": group["term"].take(pa.array(order)),
-                "tf": group["tf"].take(pa.array(order)),
-                "tfidf": pa.array(score[order], pa.float64()),
+                "doc_id": batch["doc_id"],
+                "term": batch["term"],
+                "tf": batch["tf"],
+                "tfidf": pa.array(round6(tf_v * idf), pa.float64()),
             }
         )
 
-    return scored.groupby("doc_id").map_groups(topk, batch_format="pyarrow")
+    # per-doc top-k as a segment kernel: rows arrive sorted by
+    # (doc_id, tfidf desc, term), so "rank within doc ≤ K" is a mask —
+    # one UDF call per hash bucket, not one per document
+    def topk_bucket(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        rank = segment_rank(tbl.num_rows, starts)
+        mask = pa.array(rank <= TFIDF_TOPK)
+        kept = tbl.filter(mask)
+        return pa.table(
+            {
+                "doc_id": kept["doc_id"],
+                "rank": pa.array(rank[rank <= TFIDF_TOPK], pa.int64()),
+                "term": kept["term"],
+                "tf": kept["tf"],
+                "tfidf": kept["tfidf"],
+            }
+        )
+
+    return segmented_group_map(
+        scored.map_batches(score_batch, batch_format="pyarrow"),
+        "doc_id",
+        topk_bucket,
+        num_partitions=n_parts,
+        sort_keys=[
+            ("doc_id", "ascending"),
+            ("tfidf", "descending"),
+            ("term", "ascending"),
+        ],
+    )
 
 
 # ------------------------------------------------------------- oracles ---

@@ -24,6 +24,8 @@ from .common import (
     STOPWORDS,
     read_documents,
     round6,
+    segment_rank,
+    segmented_group_map,
     shingle_stream,
     sql_fnv1a,
     tokens_per_row,
@@ -759,9 +761,10 @@ def q_curriculum_order(sf_dir: str, k: int = CURRICULUM_BUCKETS):
     1. one pruned scan → groupby(n_chars) counts; the histogram (one row
        per DISTINCT length — bounded by max doc length, not corpus size)
        reaches the driver, is prefix-summed and broadcast via ``ray.put``;
-    2. a groupby(n_chars) ranks each equal-length group by doc_id and adds
-       the broadcast offset — global rank with only a histogram-keyed
-       shuffle of 16-byte rows.
+    2. a segment-vectorized grouped map (``common.segmented_group_map``)
+       ranks each equal-length segment by doc_id and adds the broadcast
+       offset — global rank with only a histogram-keyed shuffle of
+       16-byte rows and one UDF call per hash bucket.
 
     Bucket replicates DuckDB ``ntile`` exactly (first ``N % k`` buckets
     take the extra row). Same grouped-rank caveat as ``weburl.domain_cap``:
@@ -786,30 +789,46 @@ def q_curriculum_order(sf_dir: str, k: int = CURRICULUM_BUCKETS):
     q, rem = divmod(n_total, k)
     off_ref = ray.put(offs)
 
-    def rank_group(group: pa.Table) -> pa.Table:
+    def rank_bucket(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        # segment-vectorized (one UDF call per hash bucket, not per distinct
+        # length): rows arrive sorted by (n_chars, doc_id); global rank =
+        # 0-based rank within the equal-length segment + broadcast offset
+        n = tbl.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_chars": pa.array([], pa.int64()),
+                    "global_rank": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                }
+            )
         bases = ray.get(off_ref)
-        ids = group["doc_id"].to_numpy()
-        order = np.argsort(ids, kind="stable")
-        rank0 = np.empty(ids.size, dtype=np.int64)
-        rank0[order] = np.arange(ids.size)
-        rank0 += bases[int(group["n_chars"][0].as_py())]
+        keys = np.fromiter(bases.keys(), dtype=np.int64, count=len(bases))
+        vals = np.fromiter(bases.values(), dtype=np.int64, count=len(bases))
+        nch = tbl["n_chars"].cast(pa.int64()).to_numpy()
+        counts = np.diff(np.r_[starts, n])
+        seg_base = vals[np.searchsorted(keys, nch[starts])]
+        rank0 = (segment_rank(n, starts) - 1) + np.repeat(seg_base, counts)
         cut = rem * (q + 1)  # ranks below cut sit in the q+1-sized buckets
         bucket = np.where(
             rank0 < cut, rank0 // (q + 1), rem + (rank0 - cut) // max(q, 1)
         ) + 1
         return pa.table(
             {
-                "doc_id": group["doc_id"],
-                "n_chars": group["n_chars"],
+                "doc_id": tbl["doc_id"],
+                "n_chars": tbl["n_chars"],
                 "global_rank": pa.array(rank0 + 1, pa.int64()),
                 "bucket": pa.array(bucket, pa.int64()),
             }
         )
 
-    return (
-        read_documents(sf_dir, columns=["doc_id", "n_chars"])
-        .groupby("n_chars", num_partitions=shuffle_partitions(sf_dir))
-        .map_groups(rank_group, batch_format="pyarrow")
+    return segmented_group_map(
+        read_documents(sf_dir, columns=["doc_id", "n_chars"]),
+        "n_chars",
+        rank_bucket,
+        num_partitions=shuffle_partitions(sf_dir),
+        sort_keys=[("n_chars", "ascending"), ("doc_id", "ascending")],
     )
 
 

@@ -37,7 +37,13 @@ from ..functions.urlnorm import (
     registered_domains,
     synth_urls,
 )
-from .common import read_documents, shuffle_partitions
+from .common import (
+    read_documents,
+    segment_broadcast_min,
+    segment_rank,
+    segmented_group_map,
+    shuffle_partitions,
+)
 
 DOMAIN_CAP_K = 15
 
@@ -55,18 +61,24 @@ def _with_urls(batch: pa.Table) -> pa.Table:
 
 def q_url_dedup(sf_dir: str):
     """(doc_id, url, canonical_url, canonical_doc_id) — canonical_doc_id =
-    min doc_id among docs sharing the canonical url."""
+    min doc_id among docs sharing the canonical url.
 
-    def attach_canonical(group: pa.Table) -> pa.Table:
-        ids = group["doc_id"].to_numpy()
-        canon = np.full(ids.size, ids.min(), dtype=np.int64)
-        return group.append_column("canonical_doc_id", pa.array(canon, pa.int64()))
+    Segment-vectorized grouped map (``common.segmented_group_map``): url
+    groups are tiny and numerous (nearly one per document), so a per-group
+    UDF call is Python-call-bound; one reduceat per hash bucket does the
+    same min-per-group across every group at once."""
 
-    return (
-        read_documents(sf_dir, columns=["doc_id", "source"])
-        .map_batches(_with_urls, batch_format="pyarrow")
-        .groupby("canonical_url", num_partitions=shuffle_partitions(sf_dir))
-        .map_groups(attach_canonical, batch_format="pyarrow")
+    def attach_canonical(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        canon = segment_broadcast_min(tbl["doc_id"].to_numpy(), starts)
+        return tbl.append_column("canonical_doc_id", pa.array(canon, pa.int64()))
+
+    return segmented_group_map(
+        read_documents(sf_dir, columns=["doc_id", "source"]).map_batches(
+            _with_urls, batch_format="pyarrow"
+        ),
+        "canonical_url",
+        attach_canonical,
+        num_partitions=shuffle_partitions(sf_dir),
     )
 
 
@@ -83,25 +95,25 @@ def q_domain_cap(sf_dir: str):
             }
         )
 
-    def rank_group(group: pa.Table) -> pa.Table:
-        ids = group["doc_id"].to_numpy()
-        order = np.argsort(ids, kind="stable")
-        rank = np.empty(ids.size, dtype=np.int64)
-        rank[order] = np.arange(1, ids.size + 1)
+    def rank_bucket(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        rank = segment_rank(tbl.num_rows, starts)
         return pa.table(
             {
-                "doc_id": group["doc_id"],
-                "domain": group["domain"],
+                "doc_id": tbl["doc_id"],
+                "domain": tbl["domain"],
                 "domain_rank": pa.array(rank, pa.int64()),
                 "kept": pa.array(rank <= DOMAIN_CAP_K, pa.bool_()),
             }
         )
 
-    return (
-        read_documents(sf_dir, columns=["doc_id", "source"])
-        .map_batches(domain_batch, batch_format="pyarrow")
-        .groupby("domain", num_partitions=shuffle_partitions(sf_dir))
-        .map_groups(rank_group, batch_format="pyarrow")
+    return segmented_group_map(
+        read_documents(sf_dir, columns=["doc_id", "source"]).map_batches(
+            domain_batch, batch_format="pyarrow"
+        ),
+        "domain",
+        rank_bucket,
+        num_partitions=shuffle_partitions(sf_dir),
+        sort_keys=[("domain", "ascending"), ("doc_id", "ascending")],
     )
 
 
