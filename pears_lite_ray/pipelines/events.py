@@ -147,6 +147,32 @@ ASOF_LEFT = "purchase"   # rows being enriched
 ASOF_RIGHT = "click"     # reference stream: latest prior row attaches
 
 
+def _count_le_lex(
+    ru: np.ndarray, rts: np.ndarray, qu: np.ndarray, qts: np.ndarray
+) -> np.ndarray:
+    """For every query i: the number of reference rows with
+    ``(ru, rts) <=lex (qu[i], qts[i])``, reference sorted by (ru, rts).
+
+    One merged lexsort over references + queries (ties: references first)
+    — each query's merged position minus the queries preceding it IS that
+    count. Replaces a per-user binary search with two O((R+Q) log) kernels,
+    so both custom joins run as ONE vectorized call per hash bucket."""
+    n_r = ru.size
+    u = np.concatenate([ru, qu])
+    t = np.concatenate([rts, qts])
+    side = np.concatenate(
+        [np.zeros(n_r, np.int8), np.ones(qu.size, np.int8)]
+    )
+    order = np.lexsort((side, t, u))
+    pos = np.empty(order.size, np.int64)
+    pos[order] = np.arange(order.size)
+    is_q = np.zeros(order.size, np.int64)
+    is_q[pos[n_r:]] = 1
+    q_before = np.r_[0, np.cumsum(is_q)[:-1]]
+    qpos = pos[n_r:]
+    return qpos - q_before[qpos]
+
+
 def q_asof_join(sf_dir: str):
     """AS-OF join — the time-series operator Ray Data has no primitive for,
     expressed as composition (SURVEY custom-operator rule (a)): every
@@ -157,14 +183,15 @@ def q_asof_join(sf_dir: str):
     (NaT/NaN never compare equal).
 
     Shape: ONE read of the events table filtered to the two types inside
-    the map (column- and row-pruned before any shuffle), one
-    ``groupby(user_id)`` shuffle, and a per-group vectorized sorted-merge:
-    clicks sorted by (ts, event_id), ``np.searchsorted(right)`` finds each
-    purchase's as-of index in O(log n). Partitioning assumption (same as
-    sessionize): one user's events fit in a task — at 100 TB a pathological
-    user would need a ts-range sub-split. SQL-oracle-checked against a
-    window-ranked left join (deterministic, unlike a bare ASOF JOIN whose
-    equal-ts choice is unspecified)."""
+    the map (column- and row-pruned before any shuffle), one user-bucketed
+    shuffle (``common.segmented_group_map`` — one UDF call per hash
+    bucket, not per user), and a bucket-wide merged rank count
+    (``_count_le_lex``) that finds every purchase's as-of click across
+    all the bucket's users at once. Partitioning assumption (same as
+    sessionize): a hash bucket of users fits in a task — at 100 TB a
+    pathological user would need a ts-range sub-split. SQL-oracle-checked
+    against a window-ranked left join (deterministic, unlike a bare ASOF
+    JOIN whose equal-ts choice is unspecified)."""
 
     def keep(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -175,32 +202,38 @@ def q_asof_join(sf_dir: str):
         )
         return t.filter(mask)
 
-    def merge(group: pa.Table) -> pa.Table:
-        types = group["event_type"].to_pylist()
-        ids = group["event_id"].to_numpy()
-        ts = group["ts"].cast(pa.int64()).to_numpy()
-        val = group["value"].to_numpy()
-        is_l = np.array([x == ASOF_LEFT for x in types], dtype=bool)
-        lid, lts, lval = ids[is_l], ts[is_l], val[is_l]
-        rid, rts = ids[~is_l], ts[~is_l]
-        # purchases in output order (event_id); clicks by (ts, event_id) so
-        # index idx-1 is the max-ts prior click, equal ts -> max event_id
-        lorder = np.argsort(lid)
-        lid, lts, lval = lid[lorder], lts[lorder], lval[lorder]
-        rorder = np.lexsort((rid, rts))
-        rid, rts = rid[rorder], rts[rorder]
-        idx = np.searchsorted(rts, lts, side="right") - 1
-        hit = idx >= 0
-        lid, lts, lval, idx = lid[hit], lts[hit], lval[hit], idx[hit]
+    def merge_bucket(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # rows arrive sorted by (user_id, ts, event_id); clicks of a user
+        # are therefore (ts, event_id)-sorted — the as-of index for every
+        # purchase across ALL users of the bucket comes from one merged
+        # rank count (_count_le_lex), equal ts -> max event_id
+        is_l = pc.equal(tbl["event_type"], ASOF_LEFT).to_numpy(
+            zero_copy_only=False
+        )
+        ids = tbl["event_id"].to_numpy()
+        ts = tbl["ts"].cast(pa.int64()).to_numpy()
+        val = tbl["value"].to_numpy()
+        users = tbl["user_id"].to_numpy()
+        lid, lts, lval, lu = ids[is_l], ts[is_l], val[is_l], users[is_l]
+        rid, rts, ru = ids[~is_l], ts[~is_l], users[~is_l]
+        if ru.size == 0:
+            # no reference rows in this bucket: inner join yields nothing
+            lid = lts = lval = lu = idx = np.empty(0, np.int64)
+            hit = np.empty(0, bool)
+        else:
+            idx = _count_le_lex(ru, rts, lu, lts) - 1
+            hit = (idx >= 0) & (ru[np.maximum(idx, 0)] == lu)
+        lid, lts, lval, lu, idx = (
+            lid[hit], lts[hit], lval[hit], lu[hit], idx[hit],
+        )
         click_id = rid[idx]
         click_ts = rts[idx]
         return pa.table(
             {
                 "event_id": pa.array(lid, pa.int64()),
-                "user_id": pa.array(
-                    np.full(lid.size, int(group["user_id"][0].as_py())),
-                    pa.int64(),
-                ),
+                "user_id": pa.array(lu, pa.int64()),
                 "ts": pa.array(lts, pa.int64()).cast(pa.timestamp("us")),
                 "value": pa.array(lval, pa.float64()),
                 "click_event_id": pa.array(click_id, pa.int64()),
@@ -211,17 +244,23 @@ def q_asof_join(sf_dir: str):
             }
         )
 
-    from .common import strip_schema_metadata
+    from .common import segmented_group_map, strip_schema_metadata
 
-    return (
+    return segmented_group_map(
         rd.read_parquet(
             events_path(sf_dir),
             columns=["event_id", "ts", "user_id", "event_type", "value"],
         )
         .map_batches(strip_schema_metadata, batch_format="pyarrow")
-        .map_batches(keep, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(merge, batch_format="pyarrow")
+        .map_batches(keep, batch_format="pyarrow"),
+        "user_id",
+        merge_bucket,
+        num_partitions=shuffle_partitions(),
+        sort_keys=[
+            ("user_id", "ascending"),
+            ("ts", "ascending"),
+            ("event_id", "ascending"),
+        ],
     )
 
 
@@ -234,11 +273,12 @@ def q_range_join(sf_dir: str):
     """Bounded RANGE join (the second custom join Ray Data lacks): every
     ``error`` event paired with each same-user ``purchase`` in the window
     (error.ts, error.ts + 1 h]. Same composition as the as-of join —
-    filter at the read, one groupby(user_id) shuffle, per-group
-    searchsorted window slicing (two binary searches per left row, pairs
-    emitted with np.repeat — no per-row Python loop over matches). Output
-    is inner/null-free. The window bound keeps per-row fan-out finite, so
-    the operator scales wherever sessionize does (one user per task).
+    filter at the read, one user-bucketed shuffle, two bucket-wide merged
+    rank counts (``_count_le_lex``) bounding each error's purchase window,
+    pairs emitted with np.repeat — no per-user UDF call, no per-row Python
+    loop over matches. Output is inner/null-free. The window bound keeps
+    per-row fan-out finite, so the operator scales wherever sessionize
+    does (a hash bucket of users per task).
     SQL-oracle-checked against the equivalent inequality join."""
 
     def keep(t: pa.Table) -> pa.Table:
@@ -251,32 +291,39 @@ def q_range_join(sf_dir: str):
             )
         )
 
-    def merge(group: pa.Table) -> pa.Table:
-        types = group["event_type"].to_pylist()
-        ids = group["event_id"].to_numpy()
-        ts = group["ts"].cast(pa.int64()).to_numpy()
-        is_l = np.array([x == RANGE_LEFT for x in types], dtype=bool)
-        lid, lts = ids[is_l], ts[is_l]
+    def merge_bucket(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # rows sorted by (user_id, ts, event_id); window bounds for every
+        # error across ALL users of the bucket come from two merged rank
+        # counts — the (user, ts) composite keeps each span inside its
+        # user's purchases, so no per-user slicing is needed
+        is_l = pc.equal(tbl["event_type"], RANGE_LEFT).to_numpy(
+            zero_copy_only=False
+        )
+        ids = tbl["event_id"].to_numpy()
+        ts = tbl["ts"].cast(pa.int64()).to_numpy()
+        users = tbl["user_id"].to_numpy()
+        lid, lts, lu = ids[is_l], ts[is_l], users[is_l]
         rid, rts = ids[~is_l], ts[~is_l]
-        lorder = np.argsort(lid)
-        lid, lts = lid[lorder], lts[lorder]
-        rorder = np.lexsort((rid, rts))
-        rid, rts = rid[rorder], rts[rorder]
-        lo = np.searchsorted(rts, lts, side="right")           # strictly after
-        hi = np.searchsorted(rts, lts + RANGE_WINDOW_US, side="right")
+        ru = users[~is_l]
+        if lid.size == 0 or rid.size == 0:
+            lo = hi = np.empty(0, np.int64)
+            lid = lts = lu = np.empty(0, np.int64)
+        else:
+            lo = _count_le_lex(ru, rts, lu, lts)        # strictly after lts
+            hi = _count_le_lex(ru, rts, lu, lts + RANGE_WINDOW_US)
         n_hits = hi - lo
         li = np.repeat(np.arange(lid.size), n_hits)
-        ri = np.concatenate(
-            [np.arange(a, b) for a, b in zip(lo, hi)]
-        ) if lid.size else np.empty(0, np.int64)
-        ri = ri.astype(np.int64)
+        total = int(n_hits.sum()) if n_hits.size else 0
+        # flattened per-left ranges without a Python loop:
+        # arange(total) rebased to each left's lo
+        base = np.repeat(np.cumsum(n_hits) - n_hits, n_hits)
+        ri = (np.arange(total) - base + np.repeat(lo, n_hits)).astype(np.int64)
         return pa.table(
             {
                 "error_event_id": pa.array(lid[li], pa.int64()),
-                "user_id": pa.array(
-                    np.full(li.size, int(group["user_id"][0].as_py())),
-                    pa.int64(),
-                ),
+                "user_id": pa.array(lu[li], pa.int64()),
                 "error_ts": pa.array(lts[li], pa.int64()).cast(
                     pa.timestamp("us")
                 ),
@@ -288,17 +335,23 @@ def q_range_join(sf_dir: str):
             }
         )
 
-    from .common import strip_schema_metadata
+    from .common import segmented_group_map, strip_schema_metadata
 
-    return (
+    return segmented_group_map(
         rd.read_parquet(
             events_path(sf_dir),
             columns=["event_id", "ts", "user_id", "event_type"],
         )
         .map_batches(strip_schema_metadata, batch_format="pyarrow")
-        .map_batches(keep, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(merge, batch_format="pyarrow")
+        .map_batches(keep, batch_format="pyarrow"),
+        "user_id",
+        merge_bucket,
+        num_partitions=shuffle_partitions(),
+        sort_keys=[
+            ("user_id", "ascending"),
+            ("ts", "ascending"),
+            ("event_id", "ascending"),
+        ],
     )
 
 

@@ -59,6 +59,26 @@ def test_segment_helpers():
     np.testing.assert_array_equal(segment_rank(6, starts), [1, 2, 1, 2, 3, 1])
 
 
+def test_count_le_lex_matches_bruteforce():
+    from pears_lite_ray.pipelines.events import _count_le_lex
+
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        ru = np.sort(rng.integers(0, 8, 60))
+        # ts sorted within each user segment: sort pairs lexicographically
+        rts = rng.integers(0, 50, 60)
+        order = np.lexsort((rts, ru))
+        ru, rts = ru[order], rts[order]
+        qu = rng.integers(0, 8, 40)
+        qts = rng.integers(0, 50, 40)
+        got = _count_le_lex(ru, rts, qu, qts)
+        want = [
+            int(((ru < u) | ((ru == u) & (rts <= t))).sum())
+            for u, t in zip(qu, qts)
+        ]
+        np.testing.assert_array_equal(got, want)
+
+
 def _reference_min(df: pd.DataFrame) -> pd.DataFrame:
     out = df.copy()
     out["minv"] = out.groupby("k")["v"].transform("min")
