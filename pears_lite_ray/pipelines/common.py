@@ -351,24 +351,27 @@ def string_fnv(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return fnv1a_slices(buf, off[:-1], np.diff(off))
 
 
-def key_buckets(col: pa.ChunkedArray | pa.Array, n_buckets: int) -> np.ndarray:
-    """Stable bucket id per key value: FNV-1a for strings, splitmix64 mix
-    for integers — equal keys always land in the same bucket, in every
-    worker process."""
+def key_hash(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Stable uint64 hash per key value: FNV-1a for strings, splitmix64
+    mix for integers — equal keys always hash equal, in every worker
+    process."""
     typ = col.type
     if pa.types.is_string(typ) or pa.types.is_large_string(typ):
-        h = string_fnv(col)
-    else:
-        vals = (
-            col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        ).to_numpy(zero_copy_only=False)
-        h = mix64(vals.astype(np.uint64))
-    return (h % np.uint64(n_buckets)).astype(np.int64)
+        return string_fnv(col)
+    vals = (
+        col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    ).to_numpy(zero_copy_only=False)
+    return mix64(vals.astype(np.uint64))
+
+
+def key_buckets(col: pa.ChunkedArray | pa.Array, n_buckets: int) -> np.ndarray:
+    """Stable bucket id per key value (``key_hash`` mod n_buckets)."""
+    return (key_hash(col) % np.uint64(n_buckets)).astype(np.int64)
 
 
 def segmented_group_map(
     ds: rd.Dataset,
-    key: str,
+    key: str | list[str],
     fn,
     *,
     num_partitions: int,
@@ -378,18 +381,25 @@ def segmented_group_map(
     """``groupby(key).map_groups(per_group_fn)`` semantics with one UDF call
     per hash bucket instead of one per group.
 
-    ``fn(table, starts)`` receives a bucket's rows sorted by ``sort_keys``
-    (default ``[(key, "ascending")]`` — extra keys order rows WITHIN a
-    group, e.g. ``[(key, "ascending"), ("doc_id", "ascending")]`` for a
-    per-group rank) and ``starts``, the row index of each group's first row.
-    It returns the bucket's output table; per-group work must be expressed
+    ``key`` may be one column or a composite list. ``fn(table, starts)``
+    receives a bucket's rows sorted by ``sort_keys`` (default: the key
+    columns ascending — extra keys order rows WITHIN a group, e.g.
+    ``[(key, "ascending"), ("doc_id", "ascending")]`` for a per-group
+    rank) and ``starts``, the row index of each group's first row. It
+    returns the bucket's output table; per-group work must be expressed
     as segment kernels over ``starts`` (reduceat / repeat / arange).
     """
+    keys = [key] if isinstance(key, str) else list(key)
     n_buckets = max(1, num_partitions * buckets_per_partition)
 
     def bucketize(batch: pa.Table) -> pa.Table:
+        h = key_hash(batch[keys[0]])
+        for k in keys[1:]:
+            # mix after combining so composite keys avalanche
+            h = mix64(h ^ key_hash(batch[k]))
         return batch.append_column(
-            "_bucket", pa.array(key_buckets(batch[key], n_buckets), pa.int64())
+            "_bucket",
+            pa.array((h % np.uint64(n_buckets)).astype(np.int64), pa.int64()),
         )
 
     def per_bucket(tbl: pa.Table) -> pa.Table:
@@ -397,17 +407,19 @@ def segmented_group_map(
         import pyarrow.compute as pc
 
         order = pc.sort_indices(
-            tbl, sort_keys=sort_keys or [(key, "ascending")]
+            tbl, sort_keys=sort_keys or [(k, "ascending") for k in keys]
         )
         tbl = tbl.take(order)
-        kc = tbl[key].combine_chunks()
-        n = len(kc)
+        n = tbl.num_rows
         if n == 0:
             starts = np.empty(0, dtype=np.int64)
         else:
-            neq = pc.not_equal(kc.slice(1), kc.slice(0, n - 1)).to_numpy(
-                zero_copy_only=False
-            )
+            neq = np.zeros(n - 1, dtype=bool)
+            for k in keys:
+                kc = tbl[k].combine_chunks()
+                neq |= pc.not_equal(kc.slice(1), kc.slice(0, n - 1)).to_numpy(
+                    zero_copy_only=False
+                )
             starts = np.r_[0, np.nonzero(neq)[0] + 1]
         return fn(tbl, starts)
 
@@ -416,6 +428,33 @@ def segmented_group_map(
         .groupby("_bucket", num_partitions=num_partitions)
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def segment_pairs(
+    starts: np.ndarray, n: int, cap: int | None = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All within-segment row-index pairs (i < j), vectorized across every
+    segment at once → (a_idx, b_idx, capped_segment_sizes).
+
+    Row at in-segment rank k of an m-row segment opens m-1-k pairs with
+    the rows after it; repeat/cumsum arithmetic enumerates them without a
+    per-segment loop. Segments larger than ``cap`` contribute NO pairs and
+    are returned in ``capped_segment_sizes`` for explicit drop reporting.
+    """
+    counts = np.diff(np.r_[starts, n])
+    m_r = np.repeat(counts, counts)
+    k_r = np.arange(n) - np.repeat(starts, counts)
+    c_r = m_r - 1 - k_r
+    if cap is not None:
+        c_r[m_r > cap] = 0
+        capped = counts[counts > cap]
+    else:
+        capped = np.empty(0, dtype=np.int64)
+    total = int(c_r.sum())
+    a_idx = np.repeat(np.arange(n), c_r)
+    base = np.repeat(np.cumsum(c_r) - c_r, c_r)
+    b_idx = a_idx + 1 + (np.arange(total) - base)
+    return a_idx, b_idx, capped
 
 
 def segment_broadcast_min(values: np.ndarray, starts: np.ndarray) -> np.ndarray:

@@ -45,6 +45,7 @@ from .common import (
     read_documents,
     round6,
     segment_broadcast_min,
+    segment_pairs,
     segmented_group_map,
     shingle_stream,
     shuffle_partitions,
@@ -190,37 +191,46 @@ def q_jaccard_pairs(sf_dir: str, hot_cap: int = HOT_SHINGLE_CAP):
         explode, batch_format="pyarrow"
     )
 
-    def pairs_of_group(group: pa.Table) -> pa.Table:
-        docs = group["doc_id"].to_numpy()
-        nsh = group["nsh"].to_numpy()
-        order = np.argsort(docs)
-        docs, nsh = docs[order], nsh[order]
-        if docs.size < 2:
-            return pa.table({"bucket": pa.array([], pa.int32()),
-                             "doc_a": pa.array([], pa.int64()),
-                             "doc_b": pa.array([], pa.int64()),
-                             "na": pa.array([], pa.int64()),
-                             "nb": pa.array([], pa.int64())})
-        if docs.size > hot_cap:
-            # hot-shingle drop is REPORTED, not silent: one marker row per
-            # dropped shingle rides to the bucket=-1 group, whose reduce
-            # logs the aggregate count (exact set: jaccard_dropped_shingles)
-            return pa.table({"bucket": pa.array([-1], pa.int32()),
-                             "doc_a": pa.array([-1], pa.int64()),
-                             "doc_b": pa.array([int(docs.size)], pa.int64()),
-                             "na": pa.array([0], pa.int64()),
-                             "nb": pa.array([0], pa.int64())})
-        ia, ib = np.triu_indices(docs.size, k=1)
-        a, b = docs[ia], docs[ib]
-        return pa.table(
+    def pairs_of_bucket(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        # segment-vectorized pair generation (one UDF call per hash bucket,
+        # not per shingle — distinct shingles ≈ corpus token count, the
+        # most numerous grouping in the suite): rows sorted by
+        # (shingle, doc_id); row at in-segment rank k of an m-row segment
+        # pairs with the m-1-k rows after it, so all pairs of ALL shingles
+        # come from repeat/cumsum index arithmetic
+        n = tbl.num_rows
+        docs = tbl["doc_id"].to_numpy()
+        nsh = tbl["nsh"].to_numpy()
+        a_idx, b_idx, hot_sizes = segment_pairs(starts, n, hot_cap)
+        a, b = docs[a_idx], docs[b_idx]
+        out = pa.table(
             {
                 "bucket": pa.array(pair_buckets(a, b), pa.int32()),
                 "doc_a": pa.array(a, pa.int64()),
                 "doc_b": pa.array(b, pa.int64()),
-                "na": pa.array(nsh[ia], pa.int64()),
-                "nb": pa.array(nsh[ib], pa.int64()),
+                "na": pa.array(nsh[a_idx], pa.int64()),
+                "nb": pa.array(nsh[b_idx], pa.int64()),
             }
         )
+        if hot_sizes.size:
+            # hot-shingle drop is REPORTED, not silent: one marker row per
+            # dropped shingle rides to the bucket=-1 group, whose reduce
+            # logs the aggregate count (exact set: jaccard_dropped_shingles)
+            markers = pa.table(
+                {
+                    "bucket": pa.array(
+                        np.full(hot_sizes.size, -1, np.int32), pa.int32()
+                    ),
+                    "doc_a": pa.array(
+                        np.full(hot_sizes.size, -1, np.int64), pa.int64()
+                    ),
+                    "doc_b": pa.array(hot_sizes, pa.int64()),
+                    "na": pa.array(np.zeros(hot_sizes.size, np.int64)),
+                    "nb": pa.array(np.zeros(hot_sizes.size, np.int64)),
+                }
+            )
+            out = pa.concat_tables([out, markers])
+        return out
 
     def combine(group: pa.Table) -> pa.Table:
         if int(group["bucket"][0].as_py()) == -1:  # hot-shingle markers
@@ -256,12 +266,13 @@ def q_jaccard_pairs(sf_dir: str, hot_cap: int = HOT_SHINGLE_CAP):
             }
         )
 
-    return (
-        shingle_docs.groupby("shingle")
-        .map_groups(pairs_of_group, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(combine, batch_format="pyarrow")
-    )
+    return segmented_group_map(
+        shingle_docs,
+        "shingle",
+        pairs_of_bucket,
+        num_partitions=shuffle_partitions(sf_dir),
+        sort_keys=[("shingle", "ascending"), ("doc_id", "ascending")],
+    ).groupby("bucket").map_groups(combine, batch_format="pyarrow")
 
 
 def jaccard_dropped_shingles(sf_dir: str, hot_cap: int = HOT_SHINGLE_CAP):
@@ -404,27 +415,39 @@ def q_minhash_lsh(sf_dir: str, hot_cap: int = HOT_SHINGLE_CAP):
     bands = media.filter(expr="band >= 0").drop_columns(["shset"])
     sets = media.filter(expr="band == -1").select_columns(["doc_id", "shset"])
 
-    def pairs_of_bucket(group: pa.Table) -> pa.Table:
-        docs = np.unique(np.asarray(group["doc_id"].to_numpy(), dtype=np.int64))
-        if docs.size < 2:
-            return pa.table({"bucket": pa.array([], pa.int32()),
-                             "doc_a": pa.array([], pa.int64()),
-                             "doc_b": pa.array([], pa.int64())})
-        if docs.size > hot_cap:
-            # reported drop (see HOT_SHINGLE_CAP): marker to bucket=-1,
-            # logged in dedupe; exact set via lsh_dropped_buckets()
-            return pa.table({"bucket": pa.array([-1], pa.int32()),
-                             "doc_a": pa.array([-1], pa.int64()),
-                             "doc_b": pa.array([int(docs.size)], pa.int64())})
-        ia, ib = np.triu_indices(docs.size, k=1)
-        a, b = docs[ia], docs[ib]
-        return pa.table(
+    def lsh_pairs_bucket(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        # segment-vectorized candidate generation (one UDF call per hash
+        # bucket, not per LSH band-bucket — band-buckets ≈ docs × bands):
+        # rows sorted by (band, band_key, doc_id); within-segment pairs
+        # for every band-bucket at once via segment_pairs
+        docs = tbl["doc_id"].to_numpy()
+        a_idx, b_idx, hot_sizes = segment_pairs(starts, tbl.num_rows, hot_cap)
+        a, b = docs[a_idx], docs[b_idx]
+        out = pa.table(
             {
                 "bucket": pa.array(pair_buckets(a, b), pa.int32()),
                 "doc_a": pa.array(a, pa.int64()),
                 "doc_b": pa.array(b, pa.int64()),
             }
         )
+        if hot_sizes.size:
+            # reported drop (see HOT_SHINGLE_CAP): markers to bucket=-1,
+            # logged in dedupe; exact set via lsh_dropped_buckets()
+            out = pa.concat_tables([
+                out,
+                pa.table(
+                    {
+                        "bucket": pa.array(
+                            np.full(hot_sizes.size, -1, np.int32), pa.int32()
+                        ),
+                        "doc_a": pa.array(
+                            np.full(hot_sizes.size, -1, np.int64), pa.int64()
+                        ),
+                        "doc_b": pa.array(hot_sizes, pa.int64()),
+                    }
+                ),
+            ])
+        return out
 
     def dedupe(group: pa.Table) -> pa.Table:
         if int(group["bucket"][0].as_py()) == -1:  # hot-bucket markers
@@ -452,8 +475,17 @@ def q_minhash_lsh(sf_dir: str, hot_cap: int = HOT_SHINGLE_CAP):
     # _scrub: a sort-groupby whose partitions hold no groups emits
     # schema-less empty blocks too (tiny corpora), which the join rejects
     cand = _scrub(
-        bands.groupby(["band", "band_key"])
-        .map_groups(pairs_of_bucket, batch_format="pyarrow")
+        segmented_group_map(
+            bands,
+            ["band", "band_key"],
+            lsh_pairs_bucket,
+            num_partitions=shuffle_partitions(sf_dir),
+            sort_keys=[
+                ("band", "ascending"),
+                ("band_key", "ascending"),
+                ("doc_id", "ascending"),
+            ],
+        )
         .groupby("bucket")
         .map_groups(dedupe, batch_format="pyarrow")
     ).materialize()  # compact candidate set; also guards the empty case
@@ -622,13 +654,27 @@ def q_dup_spans(sf_dir: str, k: int = DUP_SPAN_K):
             }
         )
 
-    def keep_dup(group: pa.Table) -> pa.Table:
-        pos = group["pos"].to_numpy()
-        doc = group["doc_id"].to_numpy()
+    def keep_dup_bucket(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        # rows sorted by (gram, doc_id, pos); a gram segment keeps its
+        # occurrence rows iff they span >= 2 distinct docs. Segment kernel
+        # (one UDF call per hash bucket — distinct grams ≈ corpus tokens):
+        # "first occurrence row of its (gram, doc)" marks count one doc
+        n = tbl.num_rows
+        pos = tbl["pos"].to_numpy()
+        doc = tbl["doc_id"].to_numpy()
         occ = pos >= 0
-        keep = ~occ
-        if occ.any() and np.unique(doc[occ]).size >= 2:
-            keep = keep | occ
+        counts = np.diff(np.r_[starts, n])
+        seg_id = np.repeat(np.arange(starts.size), counts)
+        prev_diff = np.ones(n, dtype=bool)
+        prev_diff[1:] = (
+            (seg_id[1:] != seg_id[:-1])
+            | (doc[1:] != doc[:-1])
+            | ~occ[:-1]
+        )
+        first_occ = occ & prev_diff
+        n_docs = np.add.reduceat(first_occ.astype(np.int64), starts)
+        dup_row = np.repeat(n_docs >= 2, counts)
+        keep = ~occ | dup_row
         return pa.table(
             {
                 "doc_id": pa.array(doc[keep], pa.int64()),
@@ -636,37 +682,53 @@ def q_dup_spans(sf_dir: str, k: int = DUP_SPAN_K):
             }
         )
 
-    def coverage(group: pa.Table) -> pa.Table:
-        pos = group["pos"].to_numpy()
-        doc_id = int(group["doc_id"][0].as_py())
-        n_tokens = int(-1 - pos[pos < 0].min())
-        starts = np.sort(pos[pos >= 0])
-        if starts.size:
-            gaps = np.minimum(np.diff(starts), k)
-            covered = int(gaps.sum()) + k
-        else:
-            covered = 0
-        frac = round6(
-            np.array([covered / max(n_tokens, 1)], dtype=np.float64)
-        )
+    def coverage_bucket(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        # rows sorted by (doc_id, pos): each doc's sentinel (pos = -1-len)
+        # leads, duplicated-gram starts follow ascending — covered tokens =
+        # sum(min(gap, k)) + k, all as reduceat segments
+        n = tbl.num_rows
+        pos = tbl["pos"].to_numpy()
+        counts = np.diff(np.r_[starts, n])
+        occ = pos >= 0
+        n_occ = np.add.reduceat(occ.astype(np.int64), starts)
+        seg_id = np.repeat(np.arange(starts.size), counts)
+        valid = occ[:-1] & occ[1:] & (seg_id[:-1] == seg_id[1:])
+        contrib = np.where(valid, np.minimum(pos[1:] - pos[:-1], k), 0)
+        cov_gap = np.add.reduceat(np.r_[contrib, 0], starts)
+        covered = cov_gap + k * (n_occ > 0)
+        n_tokens = (-1 - pos[starts]).astype(np.int64)
+        frac = round6(covered / np.maximum(n_tokens, 1))
         return pa.table(
             {
-                "doc_id": pa.array([doc_id], pa.int64()),
-                "n_tokens": pa.array([n_tokens], pa.int64()),
-                "n_grams": pa.array([max(n_tokens - k + 1, 0)], pa.int64()),
-                "n_dup_grams": pa.array([int(starts.size)], pa.int64()),
-                "covered_tokens": pa.array([covered], pa.int64()),
+                "doc_id": tbl["doc_id"].take(pa.array(starts)),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "n_grams": pa.array(
+                    np.maximum(n_tokens - k + 1, 0), pa.int64()
+                ),
+                "n_dup_grams": pa.array(n_occ, pa.int64()),
+                "covered_tokens": pa.array(covered, pa.int64()),
                 "dup_fraction": pa.array(frac, pa.float64()),
             }
         )
 
-    return (
-        read_documents(sf_dir, columns=["doc_id", "text"])
-        .map_batches(explode, batch_format="pyarrow")
-        .groupby("gram", num_partitions=nparts)
-        .map_groups(keep_dup, batch_format="pyarrow")
-        .groupby("doc_id", num_partitions=nparts)
-        .map_groups(coverage, batch_format="pyarrow")
+    return segmented_group_map(
+        segmented_group_map(
+            read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+                explode, batch_format="pyarrow"
+            ),
+            "gram",
+            keep_dup_bucket,
+            num_partitions=nparts,
+            sort_keys=[
+                ("gram", "ascending"),
+                ("doc_id", "ascending"),
+                ("pos", "ascending"),
+            ],
+        ),
+        "doc_id",
+        coverage_bucket,
+        num_partitions=nparts,
+        sort_keys=[("doc_id", "ascending"), ("pos", "ascending")],
     )
 
 
@@ -740,7 +802,8 @@ def _dedup_edges(ds, nparts: int):
 def _large_star(edges, nparts: int):
     """Large-star: every node connects its STRICTLY LARGER neighbours to the
     minimum of its closed neighbourhood. Runs over the symmetrized edge
-    list — one groupby(node) shuffle."""
+    list — one node-bucketed shuffle, segment-vectorized (nodes ≈ docs in
+    a dup-heavy graph; one UDF call per hash bucket, not per node)."""
 
     def sym(t: pa.Table) -> pa.Table:
         a = t["edge_a"].to_numpy()
@@ -752,37 +815,57 @@ def _large_star(edges, nparts: int):
             }
         )
 
-    def star(group: pa.Table) -> pa.Table:
-        u = int(group["u"][0].as_py())
-        v = group["v"].to_numpy()
-        m = min(int(v.min()), u)
-        out = v[v > u]
-        return _canon_edges(np.full(out.size, m, dtype=np.int64), out)
+    def star_bucket(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        # rows sorted by (u, v): v[starts] is each node's min neighbour
+        n = tbl.num_rows
+        u = tbl["u"].to_numpy()
+        v = tbl["v"].to_numpy()
+        counts = np.diff(np.r_[starts, n])
+        m_seg = np.minimum(v[starts], u[starts])
+        m_row = np.repeat(m_seg, counts)
+        keep = v > u
+        return _canon_edges(m_row[keep], v[keep])
 
-    return (
-        edges.map_batches(sym, batch_format="pyarrow")
-        .groupby("u", num_partitions=nparts)
-        .map_groups(star, batch_format="pyarrow")
+    return segmented_group_map(
+        edges.map_batches(sym, batch_format="pyarrow"),
+        "u",
+        star_bucket,
+        num_partitions=nparts,
+        sort_keys=[("u", "ascending"), ("v", "ascending")],
     )
 
 
 def _small_star(edges, nparts: int):
     """Small-star: every node connects its smaller neighbours (and itself)
     to the minimum of that set. Canonical edges already point larger ->
-    smaller, so the group key is edge_b — one groupby shuffle, no
-    symmetrize."""
+    smaller, so the key is edge_b — one bucketed shuffle, no symmetrize,
+    segment-vectorized like ``_large_star``."""
 
-    def star(group: pa.Table) -> pa.Table:
-        u = int(group["edge_b"][0].as_py())
-        v = np.unique(group["edge_a"].to_numpy())
-        m = int(v[0])  # unique() sorts ascending
-        members = np.concatenate([v[1:], np.array([u], dtype=np.int64)])
-        return _canon_edges(
-            np.full(members.size, m, dtype=np.int64), members
-        )
+    def star_bucket(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        # rows sorted by (edge_b, edge_a): per segment, distinct edge_a
+        # ascending; min = edge_a[start]; members = other distinct edge_a
+        # plus the node itself
+        n = tbl.num_rows
+        a = tbl["edge_a"].to_numpy()
+        b = tbl["edge_b"].to_numpy()
+        counts = np.diff(np.r_[starts, n])
+        seg_id = np.repeat(np.arange(starts.size), counts)
+        fo = np.ones(n, dtype=bool)
+        fo[1:] = (seg_id[1:] != seg_id[:-1]) | (a[1:] != a[:-1])
+        m_seg = a[starts]
+        is_start = np.zeros(n, dtype=bool)
+        is_start[starts] = True
+        keep = fo & ~is_start  # distinct smaller neighbours, minus the min
+        mem_a = np.concatenate([m_seg[seg_id[keep]], m_seg])
+        mem_b = np.concatenate([a[keep], b[starts]])
+        return _canon_edges(mem_a, mem_b)
 
-    return edges.groupby("edge_b", num_partitions=nparts).map_groups(
-        star, batch_format="pyarrow"
+    return segmented_group_map(
+        edges,
+        "edge_b",
+        star_bucket,
+        num_partitions=nparts,
+        sort_keys=[("edge_b", "ascending"), ("edge_a", "ascending")],
     )
 
 
