@@ -58,13 +58,18 @@ def varbyte_decode(buf: bytes | memoryview | np.ndarray, count: int | None = Non
     ends = np.nonzero(arr < 128)[0]
     if count is not None:
         ends = ends[:count]
+    n = ends.size
+    if n == arr.size or (n and int(ends[n - 1]) == n - 1):
+        # all-single-byte stream (tf/dl and dense doc-gap streams in
+        # practice): values ARE the bytes — skip the shift loop entirely
+        return arr[:n].astype(np.uint64)
     starts = np.empty_like(ends)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
     lengths = ends - starts + 1
-    vals = np.zeros(ends.size, dtype=np.uint64)
+    vals = (arr[starts].astype(np.uint64) & np.uint64(0x7F))
     maxlen = int(lengths.max())
-    for j in range(maxlen):
+    for j in range(1, maxlen):
         mask = lengths > j
         idx = starts[mask] + j
         vals[mask] |= (arr[idx].astype(np.uint64) & np.uint64(0x7F)) << np.uint64(7 * j)

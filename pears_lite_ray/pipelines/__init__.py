@@ -40,25 +40,30 @@ _DRIVER_ORDER = [
     # new in r4: crawl-side batch analogs (S5/S6/W5)
     "robots_filter", "link_frontier", "cache_paths",
     # index build/query core + sources
-    "docs_table", "pears_search", "batch_search", "term_stats",
+    "pears_search", "batch_search", "term_stats",
     "corpus_stats", "bm25_scores", "bm25_topk", "bm25_topk_spm",
-    "merge_bm25", "stego_docs",
-    # dedup + similarity families
-    "exact_dedup", "jaccard_pairs", "minhash_lsh", "simhash",
+    "merge_bm25",
+    # dedup + similarity families (segment-vectorized late in r4)
+    "exact_dedup", "jaccard_pairs", "minhash_lsh",
     "dup_spans", "dup_clusters",
-    "knn_cosine", "knn_lsh", "knn_ivf", "knn_pq",
+    "knn_cosine", "knn_lsh", "knn_ivf", "knn_pq", "ann_recall",
     "embedding_dups", "semdedup", "kmeans_embed",
     # text-analysis entries touched this round or with heavier kernels
     "unigram_logprob", "bigram_pmi", "weighted_sample",
     "source_top_terms", "stratified_split", "ccnet_buckets", "curate",
-    # events family (event_zscore changed this round — zero-sd guard)
+    "curriculum_order",
+    # events family (zero-sd guard + segment-vectorized joins/sessions r4)
     "asof_join", "range_join", "value_quantiles", "event_zscore",
+    "user_sessions",
     # --- position 51+: stable, unchanged, driver-green r2+r3 (or rows-only
     # by nature) — re-verified locally per round via tools/check_oracles.py
+    # (docs_table / stego_docs / simhash displaced late-r4 for the three
+    # entries above: green in BOTH r2 and r3, untouched since)
+    "docs_table", "stego_docs", "simhash",
     "quality", "token_count", "langid", "fingerprint", "gopher_quality",
     "repetition", "sample", "pack_sequences", "chunk_overlap",
-    "curriculum_order", "pii_scrub", "source_stats", "sliding_window",
-    "windowed_events", "user_sessions", "compression_ratio",
+    "pii_scrub", "source_stats", "sliding_window",
+    "windowed_events", "compression_ratio",
     "decontaminate", "top_ngrams", "csv_docs",
 ]
 

@@ -946,11 +946,75 @@ def q_kmeans_embed(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
     )
 
 
+def q_ann_recall(sf_dir: str, method: str = "lsh"):
+    """Recall@k of an approximate kNN path against the exact brute-force
+    top-k, per query — the ANN index-quality evaluation a corpus-scale
+    embedding pipeline needs next to its index builders (the standard
+    ANN-benchmarks metric). Default evaluates the LSH path; ``method`` in
+    {"lsh", "ivf", "pq"}.
+
+    Shape: both result sets are (queries × k) rows BY CONSTRUCTION —
+    never corpus-sized — so the intersection is a tagged union + one
+    groupby(query_id) reduce; nothing touches the driver. rows-only entry
+    (the approximate side's hash/quantizer state is not SQL-expressible);
+    conformance: exact-vs-exact recall pins to 1.0 in pytest."""
+    import ray.data as rd
+
+    approx_fn = {"lsh": q_knn_lsh, "ivf": q_knn_ivf, "pq": q_knn_pq}[method]
+    exact = q_knn_cosine(sf_dir)
+    approx = approx_fn(sf_dir)
+    # the knn entries return a plain Arrow table on an empty corpus
+    if isinstance(exact, pa.Table):
+        exact = rd.from_arrow(exact)
+    if isinstance(approx, pa.Table):
+        approx = rd.from_arrow(approx)
+
+    def tag(flag: int):
+        def _t(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "query_id": t["query_id"],
+                    "neighbor_id": t["neighbor_id"],
+                    "is_exact": pa.array(
+                        np.full(t.num_rows, flag, np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        return _t
+
+    def recall_of_query(group: pa.Table) -> pa.Table:
+        ex = group["is_exact"].to_numpy().astype(bool)
+        ids = group["neighbor_id"].to_numpy()
+        exact_ids = ids[ex]
+        hits = np.intersect1d(exact_ids, ids[~ex]).size
+        n_exact = exact_ids.size
+        rec = round6(np.array([hits / max(n_exact, 1)]))
+        return pa.table(
+            {
+                "query_id": group["query_id"].slice(0, 1),
+                "method": pa.array([method], pa.string()),
+                "n_exact": pa.array([int(n_exact)], pa.int64()),
+                "n_hits": pa.array([int(hits)], pa.int64()),
+                "recall": pa.array(rec, pa.float64()),
+            }
+        )
+
+    # query count is bounded (N_QUERY_VECS) — per-group calls are fine here
+    return (
+        exact.map_batches(tag(1), batch_format="pyarrow")
+        .union(approx.map_batches(tag(0), batch_format="pyarrow"))
+        .groupby("query_id")
+        .map_groups(recall_of_query, batch_format="pyarrow")
+    )
+
+
 QUERIES = {
     "knn_cosine": q_knn_cosine,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "knn_pq": q_knn_pq,
+    "ann_recall": q_ann_recall,
     "embedding_dups": q_embedding_dups,
     "semdedup": q_semdedup,
     "kmeans_embed": q_kmeans_embed,

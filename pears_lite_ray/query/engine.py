@@ -60,6 +60,9 @@ class QueryEngine:
             if self.stats.tokenizer == "spm" else None
         )
         self.tokenizer = make_tokenizer(self.stats.tokenizer, vocab)
+        # hot-term decoded contributions (stopword-class lists dominate
+        # exact scoring); same engine-lifetime contract as the row cache
+        self.decoded_cache = bm25.DecodedCache()
 
     # -- query prep ---------------------------------------------------------
     def _prep(self, query: str):
@@ -141,6 +144,7 @@ class QueryEngine:
             docs, scores, counts = bm25._accumulate(
                 rows, self.stats.n_docs, self.stats.avgdl,
                 self.stats.k1, self.stats.b, conjunctive=conjunctive,
+                cache=self.decoded_cache,
             )
             keep = self.pod_router.doc_mask(docs, pods)
             if excl is not None:
@@ -149,7 +153,8 @@ class QueryEngine:
         if conjunctive or not use_wand:
             return bm25.exact_topk(rows, k, self.stats.n_docs, self.stats.avgdl,
                                    self.stats.k1, self.stats.b,
-                                   conjunctive=conjunctive, exclude=excl)
+                                   conjunctive=conjunctive, exclude=excl,
+                                   cache=self.decoded_cache)
         return bm25.wand_topk(rows, k, self.stats.n_docs, self.stats.avgdl,
                               self.stats.k1, self.stats.b, exclude=excl)
 

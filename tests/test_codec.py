@@ -76,3 +76,57 @@ def test_bm25_math():
     assert codec.bm25_idf(50.0, 100.0) == pytest.approx(np.log(2.0))
     # tf→∞ ⇒ norm → k1+1
     assert codec.bm25_tf_norm(1e9, 100, 100.0, 1.2, 0.75) == pytest.approx(2.2, rel=1e-6)
+
+
+def test_varbyte_single_byte_fast_path():
+    import numpy as np
+
+    from pears_lite_ray import codec
+
+    # all-single-byte stream takes the bytes-are-values shortcut
+    vals = np.arange(1, 128, dtype=np.uint64)
+    buf = codec.varbyte_encode(vals)
+    np.testing.assert_array_equal(codec.varbyte_decode(buf), vals)
+    # count-limited prefix of a mixed stream where the prefix is 1-byte
+    mixed = np.array([5, 9, 300, 7], dtype=np.uint64)
+    mbuf = codec.varbyte_encode(mixed)
+    np.testing.assert_array_equal(
+        codec.varbyte_decode(mbuf, 2), np.array([5, 9], np.uint64)
+    )
+    np.testing.assert_array_equal(codec.varbyte_decode(mbuf), mixed)
+
+
+def test_topk_select_boundary_ties_match_lexsort():
+    import numpy as np
+
+    from pears_lite_ray.query.bm25 import topk_select
+
+    rng = np.random.default_rng(5)
+    for _ in range(20):
+        n = int(rng.integers(5, 400))
+        # few distinct scores -> many exact ties at the k-th boundary
+        scores = rng.integers(0, 6, n).astype(np.float64) / 3.0
+        docs = rng.permutation(n).astype(np.int64)
+        for k in (1, 3, 10, n, n + 5):
+            d, s = topk_select(docs.copy(), scores.copy(), k)
+            order = np.lexsort((docs, -scores))[:k]
+            np.testing.assert_array_equal(d, docs[order])
+            np.testing.assert_array_equal(s, scores[order])
+
+
+def test_decoded_cache_budget_eviction():
+    import numpy as np
+
+    from pears_lite_ray.query.bm25 import DecodedCache
+
+    c = DecodedCache(max_postings=100, min_list=10)
+    small = np.arange(5, dtype=np.int64)
+    c.put(1, small, small.astype(np.float64))
+    assert c.get(1) is None  # below min_list: never cached
+    big = np.arange(60, dtype=np.int64)
+    c.put(2, big, big.astype(np.float64))
+    assert c.get(2) is not None
+    c.put(3, big, big.astype(np.float64))  # 120 > 100: wholesale eviction
+    assert c.get(2) is None and c.get(3) is not None
+    c.put(4, np.arange(200, dtype=np.int64), np.zeros(200))
+    assert c.get(4) is None  # single list over budget is not kept

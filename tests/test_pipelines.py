@@ -147,6 +147,25 @@ def test_knn_lsh_overlaps_bruteforce(ray_session, planted_docs_dir):
     assert overlap > 0
 
 
+def test_ann_recall_bounds_and_self_recall(ray_session, planted_docs_dir, monkeypatch):
+    from pears_lite_ray.pipelines import similarity as S
+
+    t = _tbl(S.q_ann_recall(planted_docs_dir, method="lsh"))
+    recs = t["recall"].to_pylist()
+    assert recs and all(0.0 <= r <= 1.0 for r in recs)
+    assert set(t["method"].to_pylist()) == {"lsh"}
+    assert all(
+        h <= e
+        for h, e in zip(t["n_hits"].to_pylist(), t["n_exact"].to_pylist())
+    )
+
+    # exact-vs-exact pins recall to 1.0 for every query (q_ann_recall
+    # resolves the approx path from module globals at call time)
+    monkeypatch.setattr(S, "q_knn_lsh", S.q_knn_cosine)
+    t2 = _tbl(S.q_ann_recall(planted_docs_dir, method="lsh"))
+    assert all(r == 1.0 for r in t2["recall"].to_pylist())
+
+
 def test_hot_shingle_cap_reported_not_silent(ray_session, tmp_path_factory):
     """A shingle shared by more docs than the cap is dropped from pair
     generation AND reported (no-silent-caps): jaccard_dropped_shingles
