@@ -80,12 +80,21 @@ def headline_build(n_docs: int = CORPUS_DOCS) -> dict:
         eng.search_scores(qs[0][0], int(qs[0][1]))
         cold_first_ms = 1000 * (time.perf_counter() - t0)
         eng.warmup()
+        # warm pass = first full pass after footer warmup (pays the
+        # decoded-postings cache fill); steady pass = second pass, the
+        # repeated-workload latency the hot-term cache is for
         lat = []
         for q, k in qs:
             t0 = time.perf_counter()
             eng.search_scores(q, int(k))
             lat.append(time.perf_counter() - t0)
         lat.sort()
+        steady = []
+        for q, k in qs:
+            t0 = time.perf_counter()
+            eng.search_scores(q, int(k))
+            steady.append(time.perf_counter() - t0)
+        steady.sort()
         return {
             "build_sec": round(build_sec, 3),
             "n_docs": report["n_docs"],
@@ -94,6 +103,8 @@ def headline_build(n_docs: int = CORPUS_DOCS) -> dict:
             "query_cold_first_ms": round(cold_first_ms, 3),
             "query_warm_p50_ms": round(1000 * lat[len(lat) // 2], 3),
             "query_warm_p95_ms": round(1000 * lat[int(len(lat) * 0.95)], 3),
+            "query_steady_p50_ms": round(1000 * steady[len(steady) // 2], 3),
+            "query_steady_p95_ms": round(1000 * steady[int(len(steady) * 0.95)], 3),
         }
     finally:
         shutil.rmtree(out, ignore_errors=True)
