@@ -83,11 +83,13 @@ class SpmTokenizer:
 
     def __init__(self, vocab: Vocab):
         self.vocab = vocab
-        # prefix-keyed piece table for Viterbi: candidates[c] = pieces starting
-        # with char c (piece, id, score); bounded by max piece length.
-        self._by_prefix: dict[str, list[tuple[str, int, float]]] = {}
-        for p, i in vocab.piece_to_id.items():
-            self._by_prefix.setdefault(p[0], []).append((p, i, vocab.logprob[i]))
+        # piece score table for Viterbi substring probes: max_len dict
+        # lookups per position instead of scanning every piece that shares
+        # the first character (half the vocab starts with '▁' — the scan
+        # cost ~2.6 ms per novel word, the probe ~20 µs, same candidates)
+        self._score: dict[str, float] = {
+            p: vocab.logprob[i] for p, i in vocab.piece_to_id.items()
+        }
         self.max_len = vocab.max_piece_len
         self.unk_score = min(vocab.logprob, default=0.0) - 10.0
         # memoized word segmentation (words repeat heavily in web text)
@@ -97,27 +99,28 @@ class SpmTokenizer:
         """Viterbi over ``▁word`` (dummy-prefix convention)."""
         s = SPACE_PIECE + word
         n = len(s)
-        best = np.full(n + 1, -np.inf)
+        neg_inf = float("-inf")
+        best = [neg_inf] * (n + 1)
         best[0] = 0.0
         back: list[tuple[int, str] | None] = [None] * (n + 1)
+        score_of = self._score.get
+        max_len = self.max_len
         for i in range(n):
             bi = best[i]
-            if bi == -np.inf:
+            if bi == neg_inf:
                 continue
-            cands = self._by_prefix.get(s[i])
             matched = False
-            if cands:
-                for piece, _pid, score in cands:
-                    j = i + len(piece)
-                    if j <= n and s.startswith(piece, i):
-                        matched = True
-                        sc = bi + score
-                        if sc > best[j]:
-                            best[j] = sc
-                            back[j] = (i, piece)
+            for j in range(i + 1, min(n, i + max_len) + 1):
+                score = score_of(s[i:j])
+                if score is not None:
+                    matched = True
+                    sc = bi + score
+                    if sc > best[j]:
+                        best[j] = sc
+                        back[j] = (i, s[i:j])
             # unk fallback: always allow a single-char step so segmentation
             # never fails; scored below any real piece.
-            if not matched or best[i + 1] == -np.inf:
+            if not matched or best[i + 1] == neg_inf:
                 sc = bi + self.unk_score
                 if sc > best[i + 1]:
                     best[i + 1] = sc
