@@ -90,3 +90,65 @@ def test_regex_tokenizer_hash_ids_deterministic():
     assert ids[0] == ids[2] == term_hash_id("the")
     assert pos == [0, 1, 2]
     assert 0 <= ids[1] < (1 << 63)
+
+
+def test_viterbi_probe_matches_first_char_scan_reference(spm_tokenizer):
+    """The substring-probe Viterbi (vocab.py:96) must segment identically to
+    the round-1..3 first-char-scan formulation — same DP, same tie-breaks.
+    Reference reimplemented here over the real 16k vocab; random words mix
+    known pieces, unknown chars and long runs."""
+    import random
+
+    from pears_lite_ray.vocab import SPACE_PIECE
+
+    tok = spm_tokenizer
+    by_prefix = {}
+    for p, i in tok.vocab.piece_to_id.items():
+        by_prefix.setdefault(p[0], []).append((p, tok.vocab.logprob[i]))
+
+    def reference(word):
+        s = SPACE_PIECE + word
+        n = len(s)
+        best = [float("-inf")] * (n + 1)
+        best[0] = 0.0
+        back = [None] * (n + 1)
+        for i in range(n):
+            bi = best[i]
+            if bi == float("-inf"):
+                continue
+            matched = False
+            for piece, score in by_prefix.get(s[i], ()):
+                j = i + len(piece)
+                if j <= n and s.startswith(piece, i):
+                    matched = True
+                    sc = bi + score
+                    if sc > best[j]:
+                        best[j] = sc
+                        back[j] = (i, piece)
+            if not matched or best[i + 1] == float("-inf"):
+                sc = bi + tok.unk_score
+                if sc > best[i + 1]:
+                    best[i + 1] = sc
+                    back[i + 1] = (i, s[i])
+        out, j = [], n
+        while j > 0:
+            i, piece = back[j]
+            out.append(piece)
+            j = i
+        return tuple(reversed(out))
+
+    rng = random.Random(7)
+    pieces = [p.lstrip(SPACE_PIECE) for p in list(tok.vocab.piece_to_id)[:500]]
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789é漢"
+    for _ in range(120):
+        kind = rng.random()
+        if kind < 0.4:
+            w = "".join(rng.choice(pieces) for _ in range(rng.randint(1, 4)))
+        elif kind < 0.8:
+            w = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 24)))
+        else:
+            w = rng.choice(pieces) + "".join(
+                rng.choice(alphabet) for _ in range(rng.randint(0, 6))
+            )
+        w = w or "a"
+        assert tok._segment_word_impl(w) == reference(w), w
