@@ -9,9 +9,10 @@ postings shuffle → compressed block-max segments) → BM25 WAND query set.
 Also times every documents/embeddings operator pipeline over $GRAFT_SF_DIR.
 
 --scaling runs the headline build twice in FRESH processes
-(num_cpus=8 then num_cpus=32, same input) and reports both throughputs
-plus efficiency = (rate_32 / rate_8) / 4  (sandbox proxy for N vs 4N
-nodes; BASELINE.json north_rule ≥ 0.8).
+(num_cpus=8 then num_cpus=32 by default; BENCH_SCALING_CPUS="4,16"
+picks another N,4N pair — same input) and reports both throughputs
+plus efficiency = (rate_hi / rate_lo) / (hi/lo)  (sandbox proxy for N
+vs 4N nodes; BASELINE.json north_rule ≥ 0.8).
 """
 
 from __future__ import annotations
@@ -31,6 +32,13 @@ CORPUS_DOCS = int(os.environ.get("BENCH_CORPUS_DOCS", "32000"))
 # scaling runs need enough work that fixed per-job overhead (~6 s: actor
 # spawn, shuffle barriers, driver planning) amortizes at 32 CPUs
 SCALING_DOCS = int(os.environ.get("BENCH_SCALING_DOCS", "128000"))
+# the two parallelism levels for the N -> 4N criterion; 8,32 default.
+# On this VM 32 workers are oversubscribed in contended windows (the
+# pure-CPU ceiling itself drops to ~0.68) -- BENCH_SCALING_CPUS="4,16"
+# measures the same 4x ratio on a pair the host can actually provision.
+SCALING_CPUS = tuple(
+    int(x) for x in os.environ.get("BENCH_SCALING_CPUS", "8,32").split(",")
+)
 CORPUS_FILES = 16
 
 
@@ -137,8 +145,8 @@ def _burn(_):
     return _t.perf_counter() - t0
 
 
-def _hardware_ceiling() -> float:
-    """This machine's own 8→32-process scaling for a pure-CPU loop —
+def _hardware_ceiling(lo: int = 8, hi: int = 32) -> float:
+    """This machine's own lo→hi-process scaling for a pure-CPU loop —
     median of 3 (instantaneous host contention on the virtualized cores
     makes single samples swing 0.5-1.0; the builds themselves average over
     minutes and sit near ~0.7). No distributed software can exceed this
@@ -148,12 +156,12 @@ def _hardware_ceiling() -> float:
     effs = []
     for _ in range(3):
         rates = {}
-        for n in (8, 32):
+        for n in (lo, hi):
             with mp.Pool(n) as p:
                 t0 = time.perf_counter()
                 p.map(_burn, range(n * 2))
                 rates[n] = (n * 2) / (time.perf_counter() - t0)
-        effs.append((rates[32] / rates[8]) / 4)
+        effs.append((rates[hi] / rates[lo]) / (hi / lo))
     return round(sorted(effs)[1], 3)
 
 
@@ -171,16 +179,17 @@ def main() -> None:
         return
 
     if args.scaling:
-        ceiling = _hardware_ceiling()
+        lo, hi = SCALING_CPUS
+        ceiling = _hardware_ceiling(lo, hi)
         # INTERLEAVED legs (8, 32, 8, 32 — fresh processes): this VM's
         # throughput drifts over minutes, so back-to-back single legs bias
         # the ratio; interleaving cancels linear drift and the per-level
         # median bounds a one-off outlier.
-        legs: dict[int, list] = {8: [], 32: []}
+        legs: dict[int, list] = {lo: [], hi: []}
         detail = []
         rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "2"))
         for _ in range(rounds):
-            for cpus in (8, 32):
+            for cpus in (lo, hi):
                 p = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
                      "--scale-child", "--cpus", str(cpus)],
@@ -193,16 +202,16 @@ def main() -> None:
         med = {c: sorted(v)[len(v) // 2] if len(v) % 2 else
                sum(sorted(v)[len(v) // 2 - 1:len(v) // 2 + 1]) / 2
                for c, v in legs.items()}
-        eff = (med[32] / med[8]) / (32 / 8)
+        eff = (med[hi] / med[lo]) / (hi / lo)
         print(json.dumps({
-            "metric": "index-build scaling efficiency (8 → 32 CPUs, fresh "
-                      "clusters, interleaved A/B/A/B legs)",
+            "metric": f"index-build scaling efficiency ({lo} → {hi} CPUs, "
+                      "fresh clusters, interleaved A/B/A/B legs)",
             "value": round(eff, 3),
             "unit": "efficiency",
-            "rate_8cpu_docs_per_sec": med[8],
-            "rate_32cpu_docs_per_sec": med[32],
-            "legs_8cpu": legs[8],
-            "legs_32cpu": legs[32],
+            f"rate_{lo}cpu_docs_per_sec": med[lo],
+            f"rate_{hi}cpu_docs_per_sec": med[hi],
+            f"legs_{lo}cpu": legs[lo],
+            f"legs_{hi}cpu": legs[hi],
             # this sandbox VM's own 8→32-process CPU scaling for a pure
             # compute loop — the ceiling any software can reach here
             "hardware_ceiling_efficiency": ceiling,

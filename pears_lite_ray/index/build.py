@@ -89,8 +89,14 @@ def stage_partitions(input_paths: list[str], cfg: BuildConfig, report: dict) -> 
         if not manifest.is_done(part, path)
     ]
     report["stage_partitions_skipped_on_resume"] = len(input_paths) - len(pending)
-    # a wave must carry enough files to feed every actor of both pools
-    default_wave = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    # a wave must feed every actor AND amortize the per-wave fixed cost:
+    # each wave spawns a fresh actor pool (vocab load per actor) and pays a
+    # Ray job ramp. At CPUs files/wave a 32-CPU build ran 8 waves of ~6 s
+    # work + ~3 s overhead each — ~30% of the stage. 8× CPUs per wave keeps
+    # the checkpoint unit at ~1 min of work while the overhead amortizes;
+    # resume granularity stays per-wave (cfg.extra["files_per_wave"]
+    # overrides for finer checkpoints on flaky clusters).
+    default_wave = max(8, 8 * int(ray.cluster_resources().get("CPU", 8)))
     per_wave = int(cfg.extra.get("files_per_wave", default_wave))
     for w in range(0, len(pending), per_wave):
         wave = pending[w:w + per_wave]
