@@ -36,7 +36,12 @@ from ray.data.aggregate import Count, Sum
 
 from ..config import BM25_B, BM25_K1, BuildConfig
 from ..stages.fused import FusedExtractTokenize
-from ..stages.postings import ConcatSubSegments, MergeTermGroup, explode_partials
+from ..stages.postings import (
+    ConcatSubSegments,
+    concat_subsegments_bucket,
+    explode_partials,
+    merge_partials_bucket,
+)
 from ..state.manifest import BuildManifest
 
 META_COLS = ["doc_id", "url", "warc_ts", "title", "snippet", "lang", "pod", "doctype", "doclen"]
@@ -148,6 +153,16 @@ def _meta_blocks(cfg: BuildConfig) -> int:
     cpus = int(ray.cluster_resources().get("CPU", 4))
     by_size = _dir_bytes(cfg.staging_dir) // (2 << 20)
     return int(max(4, min(by_size, 4 * cpus)))
+
+
+def _merge_partitions(cfg: BuildConfig) -> int:
+    """Partition count for the posting-merge shuffles, sized by staging
+    DATA VOLUME (32 MB target — partials are varbyte-compressed, roughly
+    the staging term/position payload), clamped to [8, 4×CPUs]; same
+    data-not-CPUs rule as :func:`_meta_blocks`."""
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    by_size = _dir_bytes(cfg.staging_dir) // (32 << 20)
+    return int(max(8, min(by_size, 4 * cpus)))
 
 
 # Duplicate groups above this many ROWS are not pulled driver-side: the
@@ -394,26 +409,37 @@ def build_index(input_paths: list[str], cfg: BuildConfig) -> dict:
         block_size=cfg.block_size, n_shards=cfg.n_shards,
         keep_positions=keep_pos,
     )
-    merger = MergeTermGroup(**merge_kwargs)
+    from ..pipelines.common import segmented_group_map
 
-    def merge_group(t: pa.Table) -> pa.Table:
-        return merger(t)
+    merge_parts = _merge_partitions(cfg)
 
     # stage-1 shuffle on (term, salt): a hot term's postings spread over
-    # 2**salt_bits groups instead of one giant one (SURVEY §4.3)
-    sub = partials.groupby(["term_id", "salt"]).map_groups(
-        merge_group, batch_format="pyarrow"
+    # 2**salt_bits groups instead of one giant one (SURVEY §4.3). The merge
+    # is SEGMENT-VECTORIZED (one UDF call per term-hash bucket, not per
+    # term): word-mode term_id is an open 63-bit hash vocabulary
+    # (vocab.py:173), so per-group map_groups would cost one Python call
+    # per distinct term — O(10⁸⁺) calls at web scale, dominated by the
+    # df=1 long tail (§4.3; same conversion as the 14 corpus-keyed
+    # pipelines that moved to common.segmented_group_map in round 4).
+    def merge_bucket(t: pa.Table, gstarts: np.ndarray) -> pa.Table:
+        return merge_partials_bucket(t, gstarts, **merge_kwargs)
+
+    sub = segmented_group_map(
+        partials, ["term_id", "salt"], merge_bucket,
+        num_partitions=merge_parts,
     )
     if salt_bits > 0:
         concat = ConcatSubSegments(**merge_kwargs)
 
-        def concat_group(t: pa.Table) -> pa.Table:
-            return concat(t)
-
         # stage-2: tiny shuffle over ≤ 2**salt_bits encoded rows per term;
-        # ordered sub-ranges concatenate without re-encoding
-        segments = sub.groupby("term_id").map_groups(
-            concat_group, batch_format="pyarrow"
+        # single-row (cold-term) groups pass through byte-identical in one
+        # vectorized filter, ordered hot-term sub-ranges concatenate
+        # without re-encoding
+        def concat_bucket(t: pa.Table, gstarts: np.ndarray) -> pa.Table:
+            return concat_subsegments_bucket(t, gstarts, concat)
+
+        segments = segmented_group_map(
+            sub, "term_id", concat_bucket, num_partitions=merge_parts,
         )
     else:
         segments = sub

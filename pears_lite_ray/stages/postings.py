@@ -151,6 +151,176 @@ def explode_partials(batch: pa.Table, keep_positions: bool = True,
     )
 
 
+def merge_partials_bucket(
+    tbl: pa.Table,
+    starts: np.ndarray,
+    *,
+    avgdl: float,
+    k1: float,
+    b: float,
+    block_size: int,
+    n_shards: int,
+    keep_positions: bool = True,
+) -> pa.Table:
+    """Stage-1 merge, SEGMENT-VECTORIZED: one call encodes EVERY
+    (term_id, salt) group of a hash bucket at once.
+
+    ``map_groups`` costs one Python UDF call per group — with the default
+    word tokenizer ``term_id`` is an open 63-bit hash vocabulary
+    (vocab.py:173), so at web scale that is O(10⁸⁺) calls dominated by the
+    df=1 long tail (the SURVEY §4.3 pathology). Here the whole bucket is
+    processed with a fixed number of numpy kernels: ONE varbyte decode per
+    stream for every partial in the bucket, ONE lexsort over
+    (group, doc_id), ONE varbyte encode per output stream sliced at group
+    byte boundaries, and reduceat/repeat arithmetic for the per-block
+    metadata. Byte-identical to :class:`MergeTermGroup` applied per group
+    (pinned by tests/test_salted.py::test_bucket_merge_matches_per_group).
+
+    ``tbl`` holds a bucket's PARTIAL_SCHEMA rows sorted by (term_id, salt);
+    ``starts`` marks each group's first row (the ``segmented_group_map``
+    contract). Returns one SEGMENT_SCHEMA row per group.
+    """
+    n_groups = starts.size
+    if n_groups == 0:
+        return SEGMENT_SCHEMA.empty_table()
+    n_rows = tbl.num_rows
+    row_counts = np.diff(np.r_[starts, n_rows])
+
+    # -- decode every partial of the bucket in one pass per stream --------
+    n_per = tbl["n"].to_numpy().astype(np.int64)
+    total = int(n_per.sum())
+    p_starts = np.r_[0, np.cumsum(n_per)[:-1]]
+    g_post = np.repeat(
+        np.repeat(np.arange(n_groups, dtype=np.int64), row_counts), n_per
+    )
+    gaps = codec.varbyte_decode(b"".join(tbl["doc_bytes"].to_pylist()), total)
+    c = np.cumsum(gaps, dtype=np.uint64)
+    base = np.repeat(c[p_starts] - gaps[p_starts], n_per)
+    doc_all = (c - base).astype(np.int64)
+    tf_all = codec.varbyte_decode(b"".join(tbl["tf_bytes"].to_pylist()), total)
+    dl_all = codec.varbyte_decode(b"".join(tbl["dl_bytes"].to_pylist()), total)
+    pos_counts = pos_flat = None
+    if keep_positions:
+        stream = codec.varbyte_decode(b"".join(tbl["pos_bytes"].to_pylist()))
+        pos_counts, pos_flat = codec.decode_positions_stream(
+            stream, total, counts=tf_all.astype(np.int64)
+        )
+
+    # -- sort by (group, doc); drop exact-identity repeats (same contract
+    # as MergeTermGroup: stable order keeps the first occurrence) ---------
+    order = np.lexsort((doc_all, g_post))
+    g_s = g_post[order]
+    d_s = doc_all[order]
+    first = np.r_[True, (g_s[1:] != g_s[:-1]) | (d_s[1:] != d_s[:-1])]
+    if not first.all():
+        order = order[first]
+        g_s = g_s[first]
+        d_s = d_s[first]
+    tf_s = tf_all[order]
+    dl_s = dl_all[order]
+    if keep_positions:
+        pos_counts, pos_flat = _gather_positions(pos_counts, pos_flat, order)
+    n_kept = d_s.size
+
+    # -- per-group / per-block geometry (all repeat/cumsum arithmetic) ----
+    m_g = np.bincount(g_s, minlength=n_groups)          # postings per group
+    gp = np.r_[0, np.cumsum(m_g)[:-1]]                  # group posting starts
+    n_blocks_g = -(-m_g // block_size)
+    nb_total = int(n_blocks_g.sum())
+    b_first = np.r_[0, np.cumsum(n_blocks_g)[:-1]]
+    blk_rank = np.arange(nb_total) - np.repeat(b_first, n_blocks_g)
+    blk_group = np.repeat(np.arange(n_groups), n_blocks_g)
+    blk_starts = gp[blk_group] + blk_rank * block_size
+    blk_ends = np.minimum(blk_starts + block_size, (gp + m_g)[blk_group])
+
+    # -- encode once per stream, slice bytes at group boundaries ----------
+    scores = codec.bm25_tf_norm(tf_s, dl_s, avgdl, k1, b)
+    docs_u = d_s.astype(np.uint64)
+    gaps_o = docs_u.copy()
+    gaps_o[1:] -= docs_u[:-1]
+    gaps_o[blk_starts] = docs_u[blk_starts]  # re-base every block start
+
+    def enc(vals: np.ndarray) -> tuple[bytes, np.ndarray]:
+        buf = codec.varbyte_encode(vals)
+        return buf, np.r_[0, np.cumsum(codec.varbyte_byte_lengths(vals))]
+
+    doc_buf, doc_off = enc(gaps_o)
+    tf_buf, tf_off = enc(np.ascontiguousarray(tf_s, np.uint64))
+    dl_buf, dl_off = enc(np.ascontiguousarray(dl_s, np.uint64))
+    bounds = np.r_[gp, n_kept]
+
+    def cells(buf: bytes, off: np.ndarray) -> list[bytes]:
+        mv = memoryview(buf)
+        lo = off[bounds]
+        return [bytes(mv[lo[i]:lo[i + 1]]) for i in range(n_groups)]
+
+    pos_cells: list[bytes] = [b""] * n_groups
+    if keep_positions:
+        stream_vals = codec.encode_positions_stream(pos_counts, pos_flat)
+        cumc = np.r_[0, np.cumsum(pos_counts)]
+        pos_cells = codec.varbyte_encode_split(stream_vals, gp + cumc[gp])
+
+    # -- per-block metadata, grouped into list cells via Arrow offsets ----
+    blk_last = d_s[blk_ends - 1]
+    blk_max = np.maximum.reduceat(scores, blk_starts)
+    blk_n = (blk_ends - blk_starts).astype(np.int32)
+    rep_first = np.repeat(b_first, n_blocks_g)
+    blk_doc_off = (doc_off[blk_starts] - doc_off[gp[blk_group]]).astype(np.int32)
+    blk_tf_off = (tf_off[blk_starts] - tf_off[gp[blk_group]]).astype(np.int32)
+    blk_dl_off = (dl_off[blk_starts] - dl_off[gp[blk_group]]).astype(np.int32)
+    del rep_first
+    blk_bounds = pa.array(np.r_[b_first, nb_total].astype(np.int32), pa.int32())
+
+    def listcol(vals: np.ndarray, typ) -> pa.ListArray:
+        return pa.ListArray.from_arrays(blk_bounds, pa.array(vals, typ))
+
+    terms = tbl["term_id"].to_numpy()[starts]
+    return pa.Table.from_arrays(
+        [
+            pa.array(terms, pa.int64()),
+            pa.array((terms % n_shards).astype(np.int32), pa.int32()),
+            pa.array(d_s[gp], pa.int64()),
+            pa.array(m_g.astype(np.int64), pa.int64()),
+            pa.array(np.add.reduceat(tf_s, gp).astype(np.int64), pa.int64()),
+            pa.array(cells(doc_buf, doc_off), pa.binary()),
+            pa.array(cells(tf_buf, tf_off), pa.binary()),
+            pa.array(cells(dl_buf, dl_off), pa.binary()),
+            pa.array(pos_cells, pa.large_binary()),
+            listcol(blk_last.astype(np.int64), pa.int64()),
+            listcol(blk_max, pa.float64()),
+            listcol(blk_doc_off, pa.int32()),
+            listcol(blk_tf_off, pa.int32()),
+            listcol(blk_dl_off, pa.int32()),
+            listcol(blk_n, pa.int32()),
+        ],
+        schema=SEGMENT_SCHEMA,
+    )
+
+
+def concat_subsegments_bucket(
+    tbl: pa.Table, starts: np.ndarray, concat: "ConcatSubSegments"
+) -> pa.Table:
+    """Stage-2 concat, bucketized: single-row term groups (the open-vocab
+    cold-term long tail — virtually all groups) pass through BYTE-IDENTICAL
+    in one vectorized filter; only multi-sub-list terms (hot terms salted
+    by explode_partials, a bounded head set) run the per-group
+    :class:`ConcatSubSegments` kernel."""
+    n = tbl.num_rows
+    if n == 0:
+        return tbl
+    counts = np.diff(np.r_[starts, n])
+    if int(counts.max()) == 1:
+        return tbl
+    single = np.repeat(counts == 1, counts)
+    outs: list[pa.Table] = []
+    if single.any():
+        outs.append(tbl.filter(pa.array(single)))
+    for s, cnt in zip(starts[counts > 1], counts[counts > 1]):
+        outs.append(concat(tbl.slice(int(s), int(cnt)).combine_chunks())
+                    .select(tbl.column_names))
+    return pa.concat_tables(outs)
+
+
 def _gather_positions(counts, flat_abs, order):
     """Reorder per-posting position runs by ``order`` (vectorized gather)."""
     offsets = np.r_[0, np.cumsum(counts)]

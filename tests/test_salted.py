@@ -13,7 +13,9 @@ from pears_lite_ray.config import BuildConfig
 from pears_lite_ray.stages.postings import (
     ConcatSubSegments,
     MergeTermGroup,
+    concat_subsegments_bucket,
     explode_partials,
+    merge_partials_bucket,
 )
 
 MERGE_KW = dict(avgdl=50.0, k1=1.2, b=0.75, block_size=16, n_shards=16,
@@ -133,6 +135,77 @@ def test_concat_falls_back_on_overlap():
     # every doc exactly once (overlap duplicates dropped deterministically)
     assert len(np.unique(d)) == d.size == 300
     assert merged["df"][0].as_py() == 300
+
+
+def _bucket_sorted(partials: pa.Table, keys: list[str]) -> tuple[pa.Table, np.ndarray]:
+    """Emulate segmented_group_map's per-bucket input: rows sorted by the
+    group keys + the group-start index array."""
+    import pyarrow.compute as pc
+
+    t = partials.combine_chunks()
+    order = pc.sort_indices(t, sort_keys=[(k, "ascending") for k in keys])
+    t = t.take(order)
+    n = t.num_rows
+    neq = np.zeros(n - 1, dtype=bool)
+    for k in keys:
+        col = t[k].combine_chunks()
+        neq |= pc.not_equal(col.slice(1), col.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+    return t, np.r_[0, np.nonzero(neq)[0] + 1]
+
+
+@pytest.mark.parametrize("keep_positions", [True, False])
+def test_bucket_merge_matches_per_group(keep_positions):
+    """merge_partials_bucket (one vectorized call per bucket) must be
+    BYTE-IDENTICAL, column for column, to MergeTermGroup applied per
+    (term_id, salt) group — including block metadata and positions."""
+    kw = MERGE_KW | {"keep_positions": keep_positions}
+    partials = pa.concat_tables([
+        explode_partials(_tok_batch(400, seed=s), keep_positions=keep_positions,
+                         salt_bits=3, hot_frac=0.5)
+        for s in (1, 2, 7)
+    ])
+    tbl, starts = _bucket_sorted(partials, ["term_id", "salt"])
+    got = merge_partials_bucket(tbl, starts, **kw)
+
+    m = MergeTermGroup(**kw)
+    per_group = []
+    bounds = np.r_[starts, tbl.num_rows]
+    for i in range(starts.size):
+        per_group.append(m(tbl.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+                           .combine_chunks()))
+    want = pa.concat_tables(per_group)
+    assert got.num_rows == want.num_rows
+    got_l, want_l = got.to_pylist(), want.to_pylist()
+    for g, w in zip(got_l, want_l):
+        assert g == w, f"term {w['term_id']} salt-group row differs"
+
+
+def test_bucket_concat_matches_per_group():
+    """concat_subsegments_bucket: cold terms pass through byte-identical,
+    hot-term groups concatenate exactly like ConcatSubSegments."""
+    partials = pa.concat_tables([
+        explode_partials(_tok_batch(400, seed=s), keep_positions=True,
+                         salt_bits=3, hot_frac=0.5)
+        for s in (1, 2)
+    ])
+    tbl, starts = _bucket_sorted(partials, ["term_id", "salt"])
+    sub = merge_partials_bucket(tbl, starts, **MERGE_KW)
+    concat = ConcatSubSegments(**MERGE_KW)
+    tbl2, starts2 = _bucket_sorted(sub, ["term_id"])
+    got = concat_subsegments_bucket(tbl2, starts2, concat)
+
+    per_group = []
+    bounds = np.r_[starts2, tbl2.num_rows]
+    for i in range(starts2.size):
+        per_group.append(
+            concat(tbl2.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+                   .combine_chunks()).select(tbl2.column_names)
+        )
+    want = pa.concat_tables(per_group)
+    key = lambda r: r["term_id"]
+    assert sorted(got.to_pylist(), key=key) == sorted(want.to_pylist(), key=key)
 
 
 def test_build_salted_equals_unsalted(ray_session, small_corpus_dir, tmp_path_factory):
