@@ -102,36 +102,70 @@ URL_PAGE_SIZE = 100
 POD_PAGE_SIZE = 50
 
 
+def _head_by_url_key(t: pa.Table, k: int) -> pa.Table:
+    """Rows of the ``k`` smallest DISTINCT (url, doc_id) keys, sorted by
+    that key. The cut is a key boundary, so url-duplicate groups stay
+    whole for later winner resolution."""
+    t = t.sort_by([("url", "ascending"), ("doc_id", "ascending")])
+    ids = t["doc_id"].to_numpy()
+    first = np.r_[True, ids[1:] != ids[:-1]] if ids.size else np.empty(0, bool)
+    starts = np.nonzero(first)[0]
+    if starts.size <= k:
+        return t
+    return t.slice(0, int(starts[k]))
+
+
 def list_urls(index_dir: str, search: str | None = None, page: int = 0,
               page_size: int = URL_PAGE_SIZE) -> pa.Table:
     """K7 batch analog of the Flask-Admin Urls listing
     (app/__init__.py:101-126 UrlsModelView): the metadata columns minus
     the heavy ones (vector/snippet excluded — column_exclude_list),
     substring search over url/title/doctype/pod (column_searchable_list),
-    page_size 100. Pagination is a stable (url, doc_id) sort + slice;
-    duplicate-url rows resolve to the build's winner and tombstoned docs
-    are hidden. The projection + search filter run in the columnar scan;
-    the sorted page is bounded output."""
+    page_size 100. Pagination is a stable (url, doc_id) sort + slice.
+
+    Never materializes the corpus on the driver: the search OR-filter and
+    the tombstone mask are pushed into the columnar fragment scan, and the
+    page is served from a streaming bounded top-K buffer (K = rows of the
+    first ``(page+1)·page_size`` distinct url keys — the prune cut always
+    lands on a key boundary so duplicate-url groups survive intact until
+    the final winner resolution). Search is evaluated per staging row
+    before winner resolution: a doc is listed if ANY of its crawl
+    revisions matches, and the newest matching revision is displayed."""
     from .maintenance import load_tombstones
     from .segments import DocStore
 
-    store = DocStore(os.path.join(index_dir, "staging"))
-    cols = [c for c in URL_LIST_COLS if c in store.columns]
-    t = store.scan(columns=store.columns).select(cols)
+    staging = os.path.join(index_dir, "staging")
+    ds = pads.dataset(staging, format="parquet")
+    names = set(ds.schema.names)
+    cols = [c for c in URL_LIST_COLS if c in names]
+    filt = None
     if search:
-        hit = None
         for c in URL_SEARCH_COLS:
-            if c in cols:
-                m = pc.match_substring(t[c], search)
-                hit = m if hit is None else pc.or_(hit, m)
-        t = t.filter(hit)
+            if c in names:
+                m = pc.match_substring(pc.field(c), search)
+                filt = m if filt is None else filt | m
     dead = load_tombstones(index_dir)
     if dead.size:
-        t = t.filter(
-            pc.invert(pc.is_in(t["doc_id"], value_set=pa.array(dead)))
+        live = ~pc.field("doc_id").isin(pa.array(dead, pa.int64()))
+        filt = live if filt is None else filt & live
+
+    k = (page + 1) * page_size
+    buf: pa.Table | None = None
+    for batch in ds.scanner(columns=cols, filter=filt).to_batches():
+        if batch.num_rows == 0:
+            continue
+        t = pa.Table.from_batches([batch])
+        buf = t if buf is None else pa.concat_tables([buf, t])
+        if buf.num_rows > 4 * k:
+            buf = _head_by_url_key(buf, k)
+    if buf is None:
+        return pa.Table.from_batches(
+            [], schema=pa.schema([ds.schema.field(c) for c in cols])
         )
-    t = t.sort_by([("url", "ascending"), ("doc_id", "ascending")])
-    return t.slice(page * page_size, page_size)
+    buf = _head_by_url_key(buf, k)
+    buf = DocStore._resolve(buf)  # winner = (warc_ts desc, url asc)
+    buf = buf.sort_by([("url", "ascending"), ("doc_id", "ascending")])
+    return buf.slice(page * page_size, page_size)
 
 
 def list_pods(index_dir: str, search: str | None = None, page: int = 0,

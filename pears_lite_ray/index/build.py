@@ -324,6 +324,18 @@ def _filter_winners(ds, dup_ids: np.ndarray, winner_ts: dict | None,
             num_partitions = 4 * cpus
 
         def pick_winner_bucket(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+            # Staging invariant: warc_ts is non-null (every source writer
+            # stamps it). Arrow's sort places nulls LAST regardless of
+            # direction, which would silently give null-ts rows a
+            # different rank under (warc_ts desc, url asc) than the
+            # broadcast path's int64 cast (which refuses nulls) — fail
+            # loudly instead of diverging.
+            if tbl["warc_ts"].null_count:
+                raise ValueError(
+                    "null warc_ts in staging rows — the duplicate-winner "
+                    "rule (warc_ts desc, url asc) requires non-null "
+                    "timestamps at this stage boundary"
+                )
             mask = np.zeros(tbl.num_rows, dtype=bool)
             mask[starts] = True
             out = tbl.filter(pa.array(mask))

@@ -213,7 +213,8 @@ class DocStore:
         names = set(self.ds.schema.names)
         self.columns = [c for c in META_COLS if c in names]
 
-    def _resolve(self, t: pa.Table) -> pa.Table:
+    @staticmethod
+    def _resolve(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy()
         if ids.size == len(np.unique(ids)):
             return t

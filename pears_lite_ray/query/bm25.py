@@ -79,9 +79,13 @@ def _accumulate(rows: list[dict], n_docs: int, avgdl: float, k1: float, b: float
     docs = np.concatenate(all_docs)
     scores = np.concatenate(all_scores)
     # stable argsort + reduceat instead of np.unique + ufunc.at: ~2.3×
-    # faster at list-union sizes, and bit-identical — stable sort keeps
-    # each doc's contributions in term order, and reduceat adds them
-    # left-to-right exactly as add.at did
+    # faster at list-union sizes. Numerically equivalent up to float
+    # summation order, NOT bit-identical: add.at sums strictly
+    # sequentially while reduceat uses pairwise (blocked) summation, so
+    # docs matching ≥3 query terms can differ in the last ulp. The 6-dp
+    # round6 applied before every oracle compare and the (score desc,
+    # doc_id asc) tie-break both operate on the rounded values, so the
+    # contract is the ROUNDED score, not the raw float bit pattern.
     order = np.argsort(docs, kind="stable")
     d = docs[order]
     s = scores[order]
@@ -105,6 +109,8 @@ def topk_select(doc_ids: np.ndarray, scores: np.ndarray, k: int):
     score, docs strictly above it all qualify, ties AT the boundary fill
     the remainder by smallest doc_id — exact same output as the lexsort."""
     n = scores.size
+    if k <= 0:
+        return doc_ids[:0], scores[:0]
     if k < n:
         kth = np.partition(scores, n - k)[n - k]
         above = scores > kth

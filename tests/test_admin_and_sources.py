@@ -516,6 +516,31 @@ def test_list_urls_pagination_and_search(admin_index):
     )
 
 
+def test_list_urls_bounded_topk_matches_full_sort(admin_index):
+    from pears_lite_ray.index.admin import list_urls
+
+    full = list_urls(admin_index, page_size=10_000)  # k ≫ corpus: no prune
+    for page, ps in [(0, 7), (1, 7), (3, 7), (8, 7), (0, 1)]:
+        got = list_urls(admin_index, page=page, page_size=ps)
+        assert got.to_pylist() == full.slice(page * ps, ps).to_pylist()
+
+
+def test_head_by_url_key_cuts_on_key_boundary():
+    import pyarrow as pa
+
+    from pears_lite_ray.index.admin import _head_by_url_key
+
+    t = pa.table({
+        "url": ["b", "a", "a", "c", "b"],
+        "doc_id": pa.array([2, 1, 1, 3, 2], pa.int64()),
+        "warc_ts": pa.array([10, 11, 12, 13, 14], pa.int64()),
+    })
+    out = _head_by_url_key(t, 2)
+    # both rows of each of the 2 smallest keys survive — groups stay whole
+    assert out["url"].to_pylist() == ["a", "a", "b", "b"]
+    assert _head_by_url_key(t, 99).num_rows == 5
+
+
 def test_list_pods_excludes_vectors(admin_index):
     from pears_lite_ray.index.admin import list_pods
 

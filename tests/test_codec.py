@@ -114,6 +114,18 @@ def test_topk_select_boundary_ties_match_lexsort():
             np.testing.assert_array_equal(s, scores[order])
 
 
+def test_topk_select_degenerate_k():
+    import numpy as np
+
+    from pears_lite_ray.query.bm25 import topk_select
+
+    docs = np.array([3, 1, 2], np.int64)
+    scores = np.array([0.5, 0.9, 0.1])
+    for k in (0, -1):
+        d, s = topk_select(docs, scores, k)
+        assert d.size == 0 and s.size == 0
+
+
 def test_decoded_cache_budget_eviction():
     import numpy as np
 
