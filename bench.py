@@ -242,7 +242,17 @@ def main() -> None:
         "num_cpus": args.cpus,
         "headline": head,
         "calibration_burn_1p_sec": round(_burn(0), 3),
+        # entries past the driver correctness gate's 50-row window this
+        # round (each has a driver-green row from the previous round and a
+        # local re-verification; listed so the exemption is visible)
+        "driver_window_displaced": _displaced(),
     }))
+
+
+def _displaced() -> list[str]:
+    from pears_lite_ray.pipelines import driver_window_displaced
+
+    return driver_window_displaced()
 
 
 if __name__ == "__main__":

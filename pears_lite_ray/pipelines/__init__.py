@@ -31,41 +31,51 @@ _MODULES = (fulltext, dedup, similarity, textstats, events, extras, sketches,
 # additionally re-verified locally every round by tools/check_oracles.py
 # (full 63-entry result recorded in BASELINE.md).
 _DRIVER_ORDER = [
-    # never driver-verified before r4 (shipped late in r3)
-    "compact_bm25", "pods_route",
-    "multimodal_image", "multimodal_audio", "multimodal_frames",
-    "hll_distinct", "cms_ngrams", "bloom_decontaminate",
-    "dsir_weights", "tfidf_keywords", "quantile_sketch",
-    "url_dedup", "domain_cap",
-    # new in r4: crawl-side batch analogs (S5/S6/W5)
-    "robots_filter", "link_frontier", "cache_paths",
-    # index build/query core + sources
-    "pears_search", "batch_search", "term_stats",
-    "corpus_stats", "bm25_scores", "bm25_topk", "bm25_topk_spm",
-    "merge_bm25",
-    # dedup + similarity families (segment-vectorized late in r4)
-    "exact_dedup", "jaccard_pairs", "minhash_lsh",
-    "dup_spans", "dup_clusters",
-    "knn_cosine", "knn_lsh", "knn_ivf", "knn_pq", "ann_recall",
-    "embedding_dups", "semdedup", "kmeans_embed",
-    # text-analysis entries touched this round or with heavier kernels
-    "unigram_logprob", "bigram_pmi", "weighted_sample",
-    "source_top_terms", "stratified_split", "ccnet_buckets", "curate",
-    "curriculum_order",
-    # events family (zero-sd guard + segment-vectorized joins/sessions r4)
-    "asof_join", "range_join", "value_quantiles", "event_zscore",
-    "user_sessions",
-    # --- position 51+: stable, unchanged, driver-green r2+r3 (or rows-only
-    # by nature) — re-verified locally per round via tools/check_oracles.py
-    # (docs_table / stego_docs / simhash displaced late-r4 for the three
-    # entries above: green in BOTH r2 and r3, untouched since)
+    # ROUND-5 ROTATION. Window rule: every entry must have a driver-green
+    # row dated at most one round old. Positions 1-50 hold (a) the 20
+    # entries displaced past the window in r4 (their last driver rows are
+    # r2+r3) and (b) every entry whose code changed this round; positions
+    # 51+ hold only entries with fresh r4 driver rows and untouched code.
+    # The displaced list is also emitted in bench.py's JSON record
+    # (driver_window_displaced) so the exemption is visible per round.
+    #
+    # (a) displaced in r4 — last driver rows r2+r3, local-green in r4
     "docs_table", "stego_docs", "simhash",
     "quality", "token_count", "langid", "fingerprint", "gopher_quality",
     "repetition", "sample", "pack_sequences", "chunk_overlap",
     "pii_scrub", "source_stats", "sliding_window",
     "windowed_events", "compression_ratio",
     "decontaminate", "top_ngrams", "csv_docs",
+    # (b) code changed in r5: segment-vectorized term merge (whole bm25
+    # family incl. compact/merge paths), query-path guard, new oracles,
+    # scale fixes to frontier/ccnet/unigram/decontamination
+    "compact_bm25", "merge_bm25", "bm25_scores", "bm25_topk",
+    "bm25_topk_spm", "pears_search", "batch_search", "pods_route",
+    "term_stats", "corpus_stats",
+    "link_frontier", "ccnet_buckets", "unigram_logprob", "bigram_pmi",
+    "bloom_decontaminate", "curriculum_order", "domain_cap",
+    # (c) fill to 50 with the heavier / most-recently-changed r4 kernels
+    "minhash_lsh", "dup_clusters", "dup_spans", "exact_dedup",
+    "jaccard_pairs", "curate", "stratified_split", "ann_recall",
+    "kmeans_embed", "semdedup", "knn_cosine", "user_sessions",
+    "weighted_sample",
+    # --- position 51+: r4-driver-green, code untouched in r5 —
+    # re-verified locally per round via tools/check_oracles.py
+    "multimodal_image", "multimodal_audio", "multimodal_frames",
+    "hll_distinct", "cms_ngrams", "dsir_weights", "tfidf_keywords",
+    "quantile_sketch", "url_dedup", "robots_filter", "cache_paths",
+    "knn_lsh", "knn_ivf", "knn_pq", "embedding_dups",
+    "source_top_terms", "asof_join", "range_join", "value_quantiles",
+    "event_zscore",
 ]
+
+#: Entries past the driver gate's 50-row window this round (visible in the
+#: bench JSON record; all have driver-green rows from the previous round).
+DRIVER_WINDOW = 50
+
+
+def driver_window_displaced() -> list[str]:
+    return _DRIVER_ORDER[DRIVER_WINDOW:]
 
 
 def all_queries():
