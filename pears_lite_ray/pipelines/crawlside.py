@@ -7,14 +7,13 @@ dataset transform with the reference's decision semantics preserved:
 
 * ``link_frontier`` (S5) — the spider's BFS frontier
   (``app/indexer/spider.py:40-58`` ``get_links``: queue seeds, expand a
-  page's links, skip ``'#'`` links, bound the walk) as LEVEL-SYNCHRONOUS
-  distributed BFS: each level is one equi-join of the frontier against the
-  edge table plus a per-level distinct; a final groupby-min yields the
-  shortest-hop depth. The reference's ``max_pages`` visit cap is inherently
-  sequential (it depends on queue order); the batch analog bounds the walk
-  by DEPTH instead. At crawl scale each level would also anti-join the
-  visited set to avoid re-expanding earlier levels — here dominated
-  candidates are simply removed by the final min.
+  page's links, skip ``'#'`` links, bound the walk) as PRUNED
+  LEVEL-SYNCHRONOUS distributed BFS: each level is one equi-join of the
+  frontier against the edge table, a per-level distinct, and an anti-join
+  against the visited set — so first discovery IS the shortest depth and
+  the visited set is the answer. The reference's ``max_pages`` visit cap
+  is inherently sequential (it depends on queue order); the batch analog
+  bounds the walk by DEPTH instead.
 * ``robots_filter`` (S6) — the robots.txt gate
   (``app/indexer/access.py:7-41`` ``robotcheck``) as a per-domain grouped
   predicate: parse the domain's robots.txt honoring ``User-agent`` section
@@ -188,10 +187,24 @@ _EDGE_SKIP_MOD = 11         # mirror of the spider's "'#' in link" skip
 _EDGE_SKIP_RES = 3
 
 
+#: Frontier scrub block width: ~32 MiB of (int64, int64) rows. Level
+#: widths must follow the LEVEL's size — a web-graph frontier is
+#: corpus-sized by depth 2-3, so a fixed small partition count would
+#: funnel the whole frontier through a handful of blocks.
+_FRONTIER_ROWS_PER_BLOCK = 2_000_000
+
+
 def q_link_frontier(sf_dir: str):
     """(doc_id, depth) — docs reachable from the seed set within
     FRONTIER_MAX_DEPTH hops of the synthesized link graph; depth is the
-    shortest hop count (BFS)."""
+    shortest hop count (BFS).
+
+    PRUNED level-synchronous BFS: each level expands only docs first
+    discovered at the previous depth (a ``left_anti`` join against the
+    visited set), so levels shrink as the reachable set saturates and the
+    result is the visited set itself — first discovery IS the shortest
+    depth, no final corpus-wide groupby-min, and resident state is the
+    O(V) visited set plus ONE level rather than all D levels at once."""
     n_docs = pq.ParquetFile(documents_path(sf_dir)).metadata.num_rows
     parts = shuffle_partitions(sf_dir)
 
@@ -221,17 +234,28 @@ def q_link_frontier(sf_dir: str):
 
     def _compact(ds):
         # seeds are sparse: most map blocks are EMPTY, and Ray 2.49
-        # serializes empty blocks schema-less, which the join operator's
-        # hash shuffle rejects ("No match ... for key field reference") —
-        # same quirk (and same repartition fix) as dedup._scrub
-        return ds.repartition(min(parts, 4)).materialize()
+        # serializes groupby-aggregate empties schema-less, which the join
+        # operator's hash shuffle rejects ("No match ... for key field
+        # reference") — same quirk as dedup._scrub, and only a fixed-count
+        # repartition CONCATENATES the empties away (a row-target
+        # repartition passes 0-row blocks through untouched). Size the
+        # count from the LEVEL's actual rows so a corpus-sized frontier
+        # gets corpus-sized width instead of a fixed small constant; the
+        # extra materialize holds one (int64, int64) level, and the level
+        # is then probed twice (expand join + anti-join) without
+        # recompute.
+        m = ds.materialize()
+        n = int(max(1, min(parts, m.count() // _FRONTIER_ROWS_PER_BLOCK + 1)))
+        return m.repartition(n).materialize()
 
     docs = read_documents(sf_dir, columns=["doc_id"])
     edges = docs.map_batches(edges_batch, batch_format="pyarrow").materialize()
     frontier = _compact(docs.map_batches(seeds_batch, batch_format="pyarrow"))
+    visited = frontier  # union-of-materialized chain: O(V) resident total
 
-    levels = [frontier]
     for depth in range(1, FRONTIER_MAX_DEPTH + 1):
+        if frontier.count() == 0:  # free on a materialized dataset
+            break
 
         def level_rows(t: pa.Table, d: int = depth) -> pa.Table:
             # distinct dst at this level's depth (count() only forces the
@@ -243,7 +267,7 @@ def q_link_frontier(sf_dir: str):
                 }
             )
 
-        frontier = _compact(
+        reach = _compact(
             edges.join(
                 frontier.select_columns(["doc_id"]),
                 join_type="inner",
@@ -255,19 +279,21 @@ def q_link_frontier(sf_dir: str):
             .count()
             .map_batches(level_rows, batch_format="pyarrow")
         )
-        levels.append(frontier)
+        if reach.count() == 0:
+            break
+        # prune already-visited docs: first discovery = shortest depth
+        frontier = _compact(
+            reach.join(
+                visited.select_columns(["doc_id"]),
+                join_type="left_anti",
+                num_partitions=parts,
+                on=("doc_id",),
+            )
+        )
+        # both sides are materialized: the union concatenates block lists
+        visited = visited.union(frontier).materialize()
 
-    def min_rename(t: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": t["doc_id"], "depth": t["min(depth)"]})
-
-    out = levels[0]
-    for lv in levels[1:]:
-        out = out.union(lv)
-    return (
-        out.groupby("doc_id", num_partitions=parts)
-        .min("depth")
-        .map_batches(min_rename, batch_format="pyarrow")
-    )
+    return visited
 
 
 # ---------------------------------------------------------------------------
