@@ -803,7 +803,7 @@ def q_semdedup(sf_dir: str):
     return (
         read_embeddings(sf_dir, columns=["vec_id", "embedding"])
         .map_batches(AssignStage, fn_constructor_kwargs={"centroids": cent},
-                     batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
+                     batch_format="pyarrow", concurrency=pool(), num_cpus=1)
         .groupby("cluster", num_partitions=shuffle_partitions(sf_dir))
         .map_groups(dedup_cluster, batch_format="pyarrow")
     )

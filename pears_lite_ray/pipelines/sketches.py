@@ -317,20 +317,10 @@ def q_bloom_decontaminate(sf_dir: str):
     SQL-oracle-checked — bit positions replicate via the splitmix64
     replica, membership via a distinct-position anti-join-free count."""
     from .common import distinct_per_row, shingle_stream
+    from .textstats import _bench_hash_set
 
-    def bench_hashes(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy()
-        sub = batch.filter(pa.array(ids % BLOOM_BENCH_MOD == 0))
-        toks, _ = tokens_per_row(sub)
-        _, hs = shingle_stream(toks, BLOOM_NGRAM)
-        return pa.table({"h": pa.array(np.unique(hs).view(np.int64), pa.int64())})
-
-    parts = (
-        read_documents(sf_dir, columns=["doc_id", "text"])
-        .map_batches(bench_hashes, batch_format="pyarrow")
-        .take_all()
-    )  # bounded by benchmark size (doc_id % 97 rows), same as decontaminate
-    bench = np.unique(np.array([r["h"] for r in parts], dtype=np.int64))
+    # bounded driver pull (DECONTAM_BENCH_HASH_CAP), same as decontaminate
+    bench, _truncated = _bench_hash_set(sf_dir, BLOOM_BENCH_MOD, BLOOM_NGRAM)
     bits = np.zeros(BLOOM_M, dtype=bool)
     if bench.size:
         bits[_bloom_positions(bench.view(np.uint64)).ravel()] = True
@@ -361,11 +351,13 @@ def q_bloom_decontaminate(sf_dir: str):
                 }
             )
 
+    from .common import pool
+
     return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
         BloomStage,
         fn_constructor_kwargs={"bits": bits, "bench_sorted": bench},
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=pool(),
         num_cpus=1,
     )
 
