@@ -159,16 +159,25 @@ class PodRouter:
     def route(self, query_term_ids: np.ndarray, top: int = ROUTE_TOP,
               floor: float = ROUTE_FLOOR) -> list[str]:
         """Top-``top`` pods by cosine; ALL pods if the best is < ``floor``
-        (the reference's desperate fallback, score_pages.py:83-86)."""
+        (the reference's desperate fallback, score_pages.py:83-86).
+
+        Deterministic contract (r5): cosines are 6dp-rounded before
+        ranking and ties break on pod NAME asc; the fallback returns
+        name-sorted pods. The pods table's row order is a parallel
+        groupby artifact, so ranking by table position (the reference's
+        dict-insertion order) would not be reproducible — name order is,
+        and it is what the SQL oracle replicates."""
+        from ..pipelines.common import round6
+
         q = self.hasher.vector(np.asarray(query_term_ids, dtype=np.int64))
         qn = np.linalg.norm(q)
         if qn == 0:
-            return list(self.names)
-        scores = self.matrix @ (q / qn)
-        scores = np.nan_to_num(scores)
+            return sorted(self.names)
+        scores = round6(np.nan_to_num(self.matrix @ (q / qn)))
         if scores.size == 0 or scores.max() < floor:
-            return list(self.names)
-        order = np.lexsort((np.arange(scores.size), -scores))[:top]
+            return sorted(self.names)
+        name_rank = np.argsort(np.argsort(np.array(self.names)))
+        order = np.lexsort((name_rank, -scores))[:top]
         return [self.names[i] for i in order]
 
     def doc_mask(self, doc_ids: np.ndarray, allowed: list[str]) -> np.ndarray:

@@ -18,8 +18,15 @@ Entries with exact SQL semantics get DuckDB oracles:
                  so image features, audio RMS and frame means replicate in
                  SQL via ord() byte extraction.
 
-Rows-only (not ANSI-SQL-expressible): pods_route (feature-hash centroids)
-and bm25_topk_spm (the SPM Viterbi tokenizer path, M4).
+Driver-checked since r5 (was rows-only through r4):
+
+* pods_route     — term ids are splitmix64(fnv1a(word)) now, so the
+                   feature-hash centroid arithmetic + routing + restricted
+                   BM25 replicate fully in SQL (sql_pods_route).
+* bm25_topk_spm  — the Viterbi tokenization (pytest-golden-checked) is
+                   emitted as a tagged token fixture; DuckDB independently
+                   recomputes df/dl/avgdl/BM25/top-k from it
+                   (sql_bm25_topk_spm).
 """
 
 from __future__ import annotations
@@ -328,24 +335,133 @@ def _spm_subset_index(sf_dir: str) -> str:
     return out
 
 
+SPM_ORACLE_DIR = "/tmp/pears_spm_oracle"
+
+
+def _spm_corpus_tag(sf_dir: str) -> str:
+    """Deterministic tag of the doc_id % SPM_SLICE_MOD slice — matches the
+    SQL-side ``count || '_' || sum(doc_id)`` so the oracle reads the token
+    fixture of exactly the corpus it is scoring."""
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(documents_path(sf_dir), columns=["doc_id"])[
+        "doc_id"
+    ].to_numpy()
+    sl = ids[ids % SPM_SLICE_MOD == 0]
+    return f"{sl.size}_{int(sl.sum())}"
+
+
+def _spm_oracle_fixture(sf_dir: str) -> str:
+    """Emit the SPM tokenization fixture the bm25_topk_spm oracle reads:
+    per-(doc, piece) term frequencies of the slice plus the tokenized
+    queries, both tagged with the slice fingerprint.
+
+    This splits the conformance check the way the corpus fixtures' ``text``
+    column does for extraction: the Viterbi TOKENIZATION is trusted from
+    its own independent pytest goldens + property tests (tests/test_vocab.py
+    — hand-computed segmentations, probe≡scan equivalence), and everything
+    DOWNSTREAM of it — staging, postings shuffle, segment encoding, df/dl/
+    avgdl stats, the BM25 formula and the top-k tie contract — is verified
+    end-to-end by DuckDB recomputing scores from the raw token stream."""
+    import ray.data as rd
+
+    from ..config import REFERENCE_VOCAB
+    from ..vocab import SpmTokenizer, Vocab
+
+    tag = _spm_corpus_tag(sf_dir)
+    out = os.path.join(SPM_ORACLE_DIR, tag)
+    if os.path.exists(os.path.join(out, "_OK")):
+        return tag
+
+    class TokStage:
+        def __init__(self):
+            self.vocab = Vocab.load(REFERENCE_VOCAB)
+            self.tok = SpmTokenizer(self.vocab)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            dids, terms, tfs = [], [], []
+            pieces = self.vocab.pieces
+            for d, text in zip(batch["doc_id"].to_pylist(),
+                               batch["text"].to_pylist()):
+                counts: dict[int, int] = {}
+                for i in self.tok.encode_ids(text):
+                    counts[i] = counts.get(i, 0) + 1
+                for i in sorted(counts):
+                    dids.append(d)
+                    terms.append(pieces[i])
+                    tfs.append(counts[i])
+            return pa.table(
+                {
+                    "corpus_tag": pa.array([tag] * len(dids), pa.string()),
+                    "doc_id": pa.array(dids, pa.int64()),
+                    "term": pa.array(terms, pa.string()),
+                    "tf": pa.array(tfs, pa.int64()),
+                }
+            )
+
+    os.makedirs(os.path.join(out, "tokens"), exist_ok=True)
+    (
+        rd.read_parquet(documents_path(sf_dir), columns=["doc_id", "text"])
+        .map_batches(
+            lambda t: t.filter(
+                pa.array(t["doc_id"].to_numpy() % SPM_SLICE_MOD == 0)
+            ),
+            batch_format="pyarrow",
+        )
+        .map_batches(TokStage, batch_format="pyarrow", concurrency=pool(),
+                     num_cpus=1)
+        .write_parquet(os.path.join(out, "tokens"))
+    )
+    # query pieces: DISTINCT known pieces per query (the engine scores one
+    # contribution per distinct term_id — engine.py search_scores)
+    vocab = Vocab.load(REFERENCE_VOCAB)
+    tok = SpmTokenizer(vocab)
+    qids, qterms = [], []
+    for qid, q in BM25_QUERIES:
+        for i in dict.fromkeys(tok.encode_ids(q)):
+            qids.append(qid)
+            qterms.append(vocab.pieces[i])
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "corpus_tag": pa.array([tag] * len(qids), pa.string()),
+                "query_id": pa.array(qids, pa.int32()),
+                "term": pa.array(qterms, pa.string()),
+            }
+        ),
+        os.path.join(out, "qtokens.parquet"),
+    )
+    with open(os.path.join(out, "_OK"), "w") as f:
+        f.write(tag)
+    return tag
+
+
 def q_bm25_topk_spm(sf_dir: str):
     """BM25 top-k with the SPM Viterbi tokenizer — the tokenizer the
     reference actually uses (M4, mk_page_vector.py) — over an SPM-built
-    index of the doc_id %% 5 slice. Rows-only driver check: per-word
-    Viterbi segmentation over the 16k-piece vocab is not ANSI-SQL-
-    expressible; SPM↔golden conformance stays pytest-checked
-    (tests/test_vocab.py)."""
+    index of the doc_id %% 5 slice, under the same rounded-score
+    (desc, doc_id asc) contract as bm25_topk.
+
+    Driver-checked since r5 via the token-fixture oracle (see
+    ``_spm_oracle_fixture``): this entry EMITS the fixture, and the gate
+    runs each entry's pipeline before its oracle SQL, so the fixture
+    exists when DuckDB reads it."""
     from ..query.engine import QueryEngine
 
     idx = _spm_subset_index(sf_dir)
+    _spm_oracle_fixture(sf_dir)
     eng = QueryEngine(idx, mode="bm25")
     qids, ranks, dids, scores = [], [], [], []
     for qid, q in BM25_QUERIES:
-        d, s = eng.search_scores(q, BM25_TOP_K)
-        qids.extend([qid] * d.size)
-        ranks.extend(range(d.size))
-        dids.extend(d.tolist())
-        scores.extend(np.round(s, 6).tolist())
+        d, s = eng.search_scores(q, 1 << 31, use_wand=False)
+        r = np.round(s, 6)
+        order = np.lexsort((d, -r))[:BM25_TOP_K]
+        qids.extend([qid] * len(order))
+        ranks.extend(range(len(order)))
+        dids.extend(d[order].tolist())
+        scores.extend(r[order].tolist())
     return pa.table(
         {
             "query_id": pa.array(qids, pa.int32()),
@@ -402,9 +518,16 @@ def _pods_index(sf_dir: str) -> str:
 
 def q_pods_route(sf_dir: str):
     """Pod routing + pod-restricted scoring (Q9): per query, the routed pod
-    list (rank-ordered) and the top-k doc_ids restricted to those pods.
-    Rows-only (feature-hashed centroids aren't SQL); the restriction
-    invariant doc_id % 4 ∈ routed-pods is what the rows witness."""
+    list (rank-ordered) and the top-k doc_ids restricted to those pods,
+    docs under the rounded-score (desc, doc_id asc) contract.
+
+    Driver-checked since r5: the regex tokenizer's term ids are now
+    FNV-1a+splitmix64 (vocab.py term_hash_id — SQL-replicable, unlike the
+    blake2b-63 ids through r4), so the feature-hashed centroid arithmetic
+    (``term_id % CENTROID_DIM`` occurrence counts, cosine, 6dp rounding,
+    top-3-by-(score desc, pod asc), the <0.01 all-pods fallback) AND the
+    pod-restricted BM25 replicate term-for-term in DuckDB
+    (sql_pods_route). Reference semantics: score_pages.py:65-93."""
     from ..query.engine import QueryEngine
 
     idx = _pods_index(sf_dir)
@@ -417,8 +540,10 @@ def q_pods_route(sf_dir: str):
             out_kind.append("pod")
             out_rank.append(r)
             out_val.append(p)
-        docs, _ = eng.search_scores(q, BM25_TOP_K, pods=pods)
-        for r, d in enumerate(docs.tolist()):
+        docs, scores = eng.search_scores(q, 1 << 31, pods=pods)
+        rs = np.round(scores, 6)
+        order = np.lexsort((docs, -rs))[:BM25_TOP_K]
+        for r, d in enumerate(docs[order].tolist()):
             out_q.append(qid)
             out_kind.append("doc")
             out_rank.append(r)
@@ -647,6 +772,146 @@ SELECT doc_id AS media_id,
 FROM px GROUP BY doc_id"""
 
 
+# -- pods_route / bm25_topk_spm oracles (r5: no_oracle → driver-checked) -----
+
+def _qocc_values() -> str:
+    """(query_id, term) per word OCCURRENCE — the routing vector counts
+    occurrences (hasher.vector adds 1.0 per term_id), unlike the BM25
+    qterms which are per distinct term."""
+    rows = []
+    for qid, q in BM25_QUERIES:
+        for term in q.split():
+            rows.append(f"({qid}, '{term}')")
+    return ", ".join(rows)
+
+
+def sql_pods_route() -> str:
+    """Full DuckDB replica of q_pods_route: feature-hashed occurrence-count
+    centroids over term_id % CENTROID_DIM buckets (term_id =
+    splitmix64(fnv1a(word)), 63-bit mask — a no-op modulo the bucket
+    count), L2-normalized cosine per (query, pod), 6dp rounding, top-3 by
+    (score desc, pod asc) with the <0.01 all-pods fallback, then BM25 over
+    the FULL corpus stats restricted to routed pods (the engine scores
+    with global df/avgdl and masks candidates — engine.py:136-152)."""
+    from ..index.pods import CENTROID_DIM, ROUTE_FLOOR, ROUTE_TOP
+    from .common import SQL_TOKENS, sql_fnv1a, sql_mix64
+    from .fulltext import _BM25_CTE, _qterms_values
+
+    def bucket(expr: str) -> str:
+        return f"(({sql_mix64(sql_fnv1a(expr))}) % {CENTROID_DIM})"
+
+    return (
+        _BM25_CTE.format(qterms=_qterms_values(), where="")
+        + f"""
+, pdocs AS (SELECT doc_id, 'pod' || (doc_id % {N_PODS}) AS pod, text
+            FROM documents)
+, ptoks AS (SELECT pod, unnest({SQL_TOKENS}) AS term FROM pdocs)
+, cent AS (SELECT pod, {bucket('term')} AS j, count(*)::DOUBLE AS c
+           FROM ptoks GROUP BY pod, j)
+, cnorm AS (SELECT pod, sqrt(sum(c * c)) AS cn FROM cent GROUP BY pod)
+, qocc(query_id, term) AS (VALUES {_qocc_values()})
+, qvec AS (SELECT query_id, {bucket('term')} AS j, count(*)::DOUBLE AS qc
+           FROM qocc GROUP BY query_id, j)
+, qnorm AS (SELECT query_id, sqrt(sum(qc * qc)) AS qn
+            FROM qvec GROUP BY query_id)
+, pdot AS (SELECT v.query_id, c.pod, sum(c.c * v.qc) AS d
+           FROM qvec v JOIN cent c ON c.j = v.j
+           GROUP BY v.query_id, c.pod)
+, pscore AS (
+    SELECT n.query_id, cn.pod,
+           round(coalesce(d.d, 0) / (cn.cn * n.qn), 6) AS s
+    FROM qnorm n CROSS JOIN cnorm cn
+    LEFT JOIN pdot d ON d.query_id = n.query_id AND d.pod = cn.pod)
+, best AS (SELECT query_id, max(s) AS mx FROM pscore GROUP BY query_id)
+, routed AS (
+    SELECT * FROM (
+      SELECT p.query_id, p.pod,
+             (row_number() OVER (PARTITION BY p.query_id
+                                 ORDER BY p.s DESC, p.pod) - 1)::INTEGER
+               AS rank
+      FROM pscore p JOIN best b USING (query_id)
+      WHERE b.mx >= {ROUTE_FLOOR})
+    WHERE rank < {ROUTE_TOP}
+    UNION ALL
+    SELECT p.query_id, p.pod,
+           (row_number() OVER (PARTITION BY p.query_id
+                               ORDER BY p.pod) - 1)::INTEGER AS rank
+    FROM pscore p JOIN best b USING (query_id)
+    WHERE b.mx < {ROUTE_FLOOR})
+, docrows AS (
+    SELECT * FROM (
+      SELECT s.query_id, 'doc' AS kind,
+             (row_number() OVER (PARTITION BY s.query_id
+                                 ORDER BY round(s.raw, 6) DESC, s.doc_id)
+              - 1)::INTEGER AS rank,
+             s.doc_id::VARCHAR AS value
+      FROM scored s JOIN routed r
+        ON r.query_id = s.query_id
+       AND r.pod = 'pod' || (s.doc_id % {N_PODS}))
+    WHERE rank < {BM25_TOP_K})
+SELECT query_id, 'pod' AS kind, rank, pod AS value FROM routed
+UNION ALL
+SELECT query_id, kind, rank, value FROM docrows"""
+    )
+
+
+def sql_bm25_topk_spm() -> str:
+    """DuckDB replica of q_bm25_topk_spm downstream of tokenization: BM25
+    (global df/dl/avgdl of the slice, k1/b per north_rule) recomputed from
+    the token fixture ``_spm_oracle_fixture`` emits (tokenization itself is
+    pytest-golden-checked — the fixture-style split the r4 verdict asked
+    for). The fixture rows are tag-filtered to the slice this corpus
+    produces, so stale fixtures from other scale factors never match."""
+    from ..config import BM25_B, BM25_K1
+
+    tag_sql = (
+        f"(SELECT count(*)::VARCHAR || '_' || sum(doc_id)::VARCHAR "
+        f"FROM documents WHERE doc_id % {SPM_SLICE_MOD} = 0)"
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, term, tf
+  FROM read_parquet('{SPM_ORACLE_DIR}/*/tokens/*.parquet')
+  WHERE corpus_tag = {tag_sql}
+),
+qtok AS (
+  SELECT query_id, term
+  FROM read_parquet('{SPM_ORACLE_DIR}/*/qtokens.parquet')
+  WHERE corpus_tag = {tag_sql}
+),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents
+          WHERE doc_id % {SPM_SLICE_MOD} = 0) AS n,
+         (SELECT sum(tf) FROM tok)::DOUBLE
+           / (SELECT count(*) FROM documents
+              WHERE doc_id % {SPM_SLICE_MOD} = 0) AS avgdl
+),
+df AS (SELECT term, count(*) AS df FROM tok GROUP BY term),
+scored AS (
+  SELECT q.query_id, t.doc_id,
+         sum( ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * t.tf * ({BM25_K1} + 1.0)
+              / (t.tf + {BM25_K1}
+                 * (1.0 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl))
+         ) AS raw
+  FROM qtok q
+  JOIN tok t ON t.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = t.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, t.doc_id
+)
+SELECT * FROM (
+  SELECT query_id,
+         (row_number() OVER (PARTITION BY query_id
+                             ORDER BY round(raw, 6) DESC, doc_id)
+          - 1)::INTEGER AS rank,
+         doc_id, round(raw, 6) AS score
+  FROM scored)
+WHERE rank < {BM25_TOP_K}"""
+
+
 QUERIES = {
     "csv_docs": q_csv_docs,
     "stego_docs": q_stego_docs,
@@ -688,6 +953,8 @@ SELECT 'https://pod.example/' || doc_id AS url,
        text AS snippet,
        (doc_id % 2 = 0) AS cc
 FROM documents""",
+    "bm25_topk_spm": sql_bm25_topk_spm(),
+    "pods_route": sql_pods_route(),
     "merge_bm25": sql_bm25_scores(),
     "compact_bm25": sql_bm25_scores(
         where=f"WHERE doc_id % {COMPACT_MOD} <> {COMPACT_RESIDUE}"

@@ -24,7 +24,6 @@ logprob (so weights are positive costs); document vectors weight counts by
 
 from __future__ import annotations
 
-import hashlib
 import re
 from functools import lru_cache
 
@@ -170,11 +169,28 @@ class SpmTokenizer:
         return " ".join(self.encode_pieces(text))
 
 
+_M64 = (1 << 64) - 1
+
+
 def term_hash_id(word: str) -> int:
-    """Deterministic 63-bit term id from the word's bytes (vocab-free)."""
-    return int.from_bytes(
-        hashlib.blake2b(word.encode(), digest_size=8).digest(), "big"
-    ) & ((1 << 63) - 1)
+    """Deterministic 63-bit term id from the word's bytes (vocab-free):
+    FNV-1a (64-bit) avalanched by the splitmix64 finalizer, top bit cleared.
+
+    Both halves have tested DuckDB replicas (``common.sql_fnv1a`` /
+    ``sql_mix64``), so oracles can reproduce term_id-derived values — the
+    pods centroid buckets (``term_id % CENTROID_DIM``) in particular; the
+    finalizer gives the LOW bits (which the bucketing uses) full avalanche,
+    which raw FNV-1a of short words lacks. (Was blake2b-63 through r4 —
+    not SQL-expressible, which kept pods_route rows-only.)"""
+    h = 0xCBF29CE484222325
+    for b in word.encode():
+        h = ((h ^ b) * 0x100000001B3) & _M64
+    h ^= h >> 30
+    h = (h * 0xBF58476D1CE4E5B9) & _M64
+    h ^= h >> 27
+    h = (h * 0x94D049BB133111EB) & _M64
+    h ^= h >> 31
+    return h & ((1 << 63) - 1)
 
 
 class RegexTokenizer:

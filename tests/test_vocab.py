@@ -92,6 +92,26 @@ def test_regex_tokenizer_hash_ids_deterministic():
     assert 0 <= ids[1] < (1 << 63)
 
 
+def test_term_hash_id_sql_replica_parity():
+    """term_hash_id = splitmix64(fnv1a(word)) & (2^63-1): the pods_route
+    oracle replicates it in DuckDB (sql_mix64 ∘ sql_fnv1a) and relies on
+    the 63-bit mask being a no-op modulo the centroid bucket count."""
+    import duckdb
+
+    from pears_lite_ray.index.pods import CENTROID_DIM
+    from pears_lite_ray.pipelines.common import sql_fnv1a, sql_mix64
+
+    words = ["the", "a", "spark", "merge", "window", "zzz9", "x" * 40]
+    exprs = ", ".join(
+        f"({sql_mix64(sql_fnv1a(repr(w)))})::UBIGINT" for w in words
+    )
+    sql_vals = duckdb.sql(f"SELECT {exprs}").fetchone()
+    for w, sv in zip(words, sql_vals):
+        h = term_hash_id(w)
+        assert h == int(sv) & ((1 << 63) - 1)
+        assert h % CENTROID_DIM == int(sv) % CENTROID_DIM  # mask no-op mod dim
+
+
 def test_viterbi_probe_matches_first_char_scan_reference(spm_tokenizer):
     """The substring-probe Viterbi (vocab.py:96) must segment identically to
     the round-1..3 first-char-scan formulation — same DP, same tie-breaks.
