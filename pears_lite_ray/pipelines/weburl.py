@@ -84,7 +84,15 @@ def q_url_dedup(sf_dir: str):
 
 def q_domain_cap(sf_dir: str):
     """(doc_id, domain, domain_rank, kept) — rank within the registered
-    domain by doc_id asc; kept = rank ≤ DOMAIN_CAP_K."""
+    domain by doc_id asc; kept = rank ≤ DOMAIN_CAP_K.
+
+    Partitioning assumption (documented scale caveat): one registered
+    domain's rows land in one hash bucket, so a mega-domain (a blogspot.com
+    at crawl scale) must fit a task. The cap semantics only need rank ≤ K
+    though, so the scale escape is a two-pass variant: per-(domain, salt)
+    partial rank + a domain-level offset join — same shape as the
+    curriculum histogram offsets; switch when a domain's row bytes approach
+    the block size."""
 
     def domain_batch(batch: pa.Table) -> pa.Table:
         urls = synth_urls(batch["doc_id"], batch["source"])
