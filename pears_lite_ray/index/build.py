@@ -155,14 +155,80 @@ def _meta_blocks(cfg: BuildConfig) -> int:
     return int(max(4, min(by_size, 4 * cpus)))
 
 
+def merge_partials_to_segments(partials, merge_kwargs: dict, *,
+                               merge_parts: int, salt_bits: int,
+                               tokenizer: str):
+    """The two-stage posting merge ((term_id, salt) → term_id), dispatched
+    on the VOCABULARY SHAPE of the tokenizer:
+
+    - **Bounded vocab** (``spm``: the 16k-piece reference vocabulary) —
+      per-group ``groupby(...).map_groups(...)``. The group count is
+      vocab-bounded (≤ 16k × 2**salt_bits) INDEPENDENT of corpus size, so
+      the per-group Python-call overhead is a constant, and Ray's sort
+      shuffle keeps full input-block-width parallelism. Measured at 512k
+      docs / 32 CPUs: 26 s vs 42 s for the bucketed path (whose sequential
+      whole-bucket decode/encode kernels serialize more work per task).
+    - **Open vocab** (``regex`` word tokenizer: ``term_id`` is a 63-bit
+      content hash, vocab.py:173) — SEGMENT-VECTORIZED buckets
+      (``common.segmented_group_map``): one UDF call per term-hash bucket,
+      not per term. Per-group calls here would be O(distinct terms) =
+      O(10⁸⁺) at web scale, dominated by the df=1 long tail — the SURVEY
+      §4.3 pathology. Measured at 512k docs / 32 CPUs: merge stage 256 s
+      per-group → 57 s bucketed (4.5×).
+
+    Both paths produce byte-identical SEGMENT_SCHEMA rows
+    (tests/test_salted.py pins bucket ≡ per-group)."""
+    from ..stages.postings import MergeTermGroup
+
+    if tokenizer == "spm":
+        merger = MergeTermGroup(**merge_kwargs)
+        sub = partials.groupby(["term_id", "salt"]).map_groups(
+            lambda t: merger(t), batch_format="pyarrow"
+        )
+        if salt_bits > 0:
+            concat = ConcatSubSegments(**merge_kwargs)
+            return sub.groupby("term_id").map_groups(
+                lambda t: concat(t), batch_format="pyarrow"
+            )
+        return sub
+
+    from ..pipelines.common import segmented_group_map
+
+    sub = segmented_group_map(
+        partials, ["term_id", "salt"],
+        lambda t, s: merge_partials_bucket(t, s, **merge_kwargs),
+        num_partitions=merge_parts,
+    )
+    if salt_bits > 0:
+        concat = ConcatSubSegments(**merge_kwargs)
+        # stage-2: tiny shuffle over ≤ 2**salt_bits encoded rows per term;
+        # single-row (cold-term) groups pass through byte-identical in one
+        # vectorized filter, ordered hot-term sub-ranges concatenate
+        # without re-encoding
+        return segmented_group_map(
+            sub, "term_id",
+            lambda t, s: concat_subsegments_bucket(t, s, concat),
+            num_partitions=merge_parts,
+        )
+    return sub
+
+
 def _merge_partitions(cfg: BuildConfig) -> int:
-    """Partition count for the posting-merge shuffles, sized by staging
-    DATA VOLUME (32 MB target — partials are varbyte-compressed, roughly
-    the staging term/position payload), clamped to [8, 4×CPUs]; same
-    data-not-CPUs rule as :func:`_meta_blocks`."""
+    """Partition count for the posting-merge shuffles: data-sized (32 MB
+    of staging payload per partition — partials are varbyte-compressed,
+    roughly the staging term/position volume) but never BELOW 2×CPUs.
+
+    The lower clamp is load-bearing: after the segment-vectorized merge
+    (one UDF call per partition-bucket) the merge COMPUTE runs in exactly
+    this many tasks, so a small-corpus byte estimate of 8 would leave
+    24 of 32 cores idle through the most expensive build stage — measured
+    512k-doc SPM builds: 98 s at 8 partitions vs 26 s at 2×CPUs, same
+    window. The upper clamp (4×CPUs) still bounds near-empty-partition
+    shuffle overhead on small data; at cluster scale the byte term
+    dominates and CPUs = cluster-wide CPU count."""
     cpus = int(ray.cluster_resources().get("CPU", 4))
     by_size = _dir_bytes(cfg.staging_dir) // (32 << 20)
-    return int(max(8, min(by_size, 4 * cpus)))
+    return int(max(2 * cpus, min(by_size, 4 * cpus)))
 
 
 # Duplicate groups above this many ROWS are not pulled driver-side: the
@@ -421,40 +487,10 @@ def build_index(input_paths: list[str], cfg: BuildConfig) -> dict:
         block_size=cfg.block_size, n_shards=cfg.n_shards,
         keep_positions=keep_pos,
     )
-    from ..pipelines.common import segmented_group_map
-
-    merge_parts = _merge_partitions(cfg)
-
-    # stage-1 shuffle on (term, salt): a hot term's postings spread over
-    # 2**salt_bits groups instead of one giant one (SURVEY §4.3). The merge
-    # is SEGMENT-VECTORIZED (one UDF call per term-hash bucket, not per
-    # term): word-mode term_id is an open 63-bit hash vocabulary
-    # (vocab.py:173), so per-group map_groups would cost one Python call
-    # per distinct term — O(10⁸⁺) calls at web scale, dominated by the
-    # df=1 long tail (§4.3; same conversion as the 14 corpus-keyed
-    # pipelines that moved to common.segmented_group_map in round 4).
-    def merge_bucket(t: pa.Table, gstarts: np.ndarray) -> pa.Table:
-        return merge_partials_bucket(t, gstarts, **merge_kwargs)
-
-    sub = segmented_group_map(
-        partials, ["term_id", "salt"], merge_bucket,
-        num_partitions=merge_parts,
+    segments = merge_partials_to_segments(
+        partials, merge_kwargs, merge_parts=_merge_partitions(cfg),
+        salt_bits=salt_bits, tokenizer=cfg.tokenizer,
     )
-    if salt_bits > 0:
-        concat = ConcatSubSegments(**merge_kwargs)
-
-        # stage-2: tiny shuffle over ≤ 2**salt_bits encoded rows per term;
-        # single-row (cold-term) groups pass through byte-identical in one
-        # vectorized filter, ordered hot-term sub-ranges concatenate
-        # without re-encoding
-        def concat_bucket(t: pa.Table, gstarts: np.ndarray) -> pa.Table:
-            return concat_subsegments_bucket(t, gstarts, concat)
-
-        segments = segmented_group_map(
-            sub, "term_id", concat_bucket, num_partitions=merge_parts,
-        )
-    else:
-        segments = sub
     try:
         segments.write_parquet(cfg.segments_dir, partition_cols=["termhash"])
     except TypeError:  # older Ray without partition_cols

@@ -84,13 +84,7 @@ def compact(index_dir: str, cfg: BuildConfig | None = None) -> dict:
     import pyarrow.compute as pc
     from ray.data.aggregate import Count, Sum
 
-    from ..pipelines.common import segmented_group_map
-    from ..stages.postings import (
-        ConcatSubSegments,
-        concat_subsegments_bucket,
-        explode_partials,
-        merge_partials_bucket,
-    )
+    from ..stages.postings import explode_partials
     from . import build as B
 
     cfg = cfg or BuildConfig(out_dir=index_dir)
@@ -151,19 +145,13 @@ def compact(index_dir: str, cfg: BuildConfig | None = None) -> dict:
     )
     kw = dict(avgdl=avgdl, k1=BM25_K1, b=BM25_B, block_size=cfg.block_size,
               n_shards=cfg.n_shards, keep_positions=keep_pos)
-    # same segment-vectorized two-stage merge as build_index: one UDF call
-    # per term-hash bucket, not per term (open word vocabulary — §4.3)
-    merge_parts = B._merge_partitions(cfg)
-    sub = segmented_group_map(
-        partials, ["term_id", "salt"],
-        lambda t, s: merge_partials_bucket(t, s, **kw),
-        num_partitions=merge_parts,
-    )
-    concat = ConcatSubSegments(**kw)
-    segments = segmented_group_map(
-        sub, "term_id",
-        lambda t, s: concat_subsegments_bucket(t, s, concat),
-        num_partitions=merge_parts,
+    # same two-stage merge as build_index, dispatched on the INDEX's
+    # tokenizer (recorded in stats at build time): bounded SPM vocab →
+    # per-group map_groups, open word vocab → segment-vectorized buckets
+    segments = B.merge_partials_to_segments(
+        partials, kw, merge_parts=B._merge_partitions(cfg),
+        salt_bits=salt_bits,
+        tokenizer=old_stats.get("tokenizer", cfg.tokenizer),
     )
     new_dir = cfg.segments_dir + ".compact"
     shutil.rmtree(new_dir, ignore_errors=True)

@@ -399,7 +399,10 @@ def _spm_oracle_fixture(sf_dir: str) -> str:
                 }
             )
 
-    os.makedirs(os.path.join(out, "tokens"), exist_ok=True)
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)  # a crashed partial write would
+    os.makedirs(os.path.join(out, "tokens"))  # otherwise double the rows
     (
         rd.read_parquet(documents_path(sf_dir), columns=["doc_id", "text"])
         .map_batches(
