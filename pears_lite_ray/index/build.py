@@ -222,8 +222,8 @@ def _merge_partitions(cfg: BuildConfig) -> int:
     (one UDF call per partition-bucket) the merge COMPUTE runs in exactly
     this many tasks, so a small-corpus byte estimate of 8 would leave
     24 of 32 cores idle through the most expensive build stage — measured
-    512k-doc SPM builds: 98 s at 8 partitions vs 26 s at 2×CPUs, same
-    window. The upper clamp (4×CPUs) still bounds near-empty-partition
+    512k-doc word-mode-path builds: 98 s at 8 partitions vs 42 s at
+    2×CPUs, same window. The upper clamp (4×CPUs) still bounds near-empty-partition
     shuffle overhead on small data; at cluster scale the byte term
     dominates and CPUs = cluster-wide CPU count."""
     cpus = int(ray.cluster_resources().get("CPU", 4))
