@@ -52,6 +52,16 @@ def _staging_partitions(*dirs: str) -> int:
     return int(max(8, min(total // (64 << 20), 4 * cpus)))
 
 
+#: Ceiling on the doc_ids-in-both-indexes-with-different-content set that
+#: the union broadcasts to every term-merge task (8 B/id ≈ 40 MB at the
+#: cap). A foreign-pod import (S7, the reference's use case) is
+#: mostly-disjoint, so conflicts are re-crawled pages — rare by nature;
+#: hitting the cap means the inputs are the same corpus re-crawled, where
+#: a staging-level rebuild (hash-partitioned winner shuffle, no broadcast)
+#: is the right tool.
+MERGE_CONFLICTS_CAP = 5_000_000
+
+
 def _union_doc_scan(dir_a: str, dir_b: str) -> tuple[int, int, "np.ndarray"]:
     """ONE pass over both stagings → (n_docs, total_postings, conflicts).
 
@@ -122,7 +132,21 @@ def _union_doc_scan(dir_a: str, dir_b: str) -> tuple[int, int, "np.ndarray"]:
         diff = pc.not_equal(t["sig_a"], t["sig_b"])
         return t.select(["doc_id"]).filter(pc.and_(both, diff))
 
-    parts = per_doc.map_batches(keep_conflicts, batch_format="pyarrow").take_all()
+    conf_ds = per_doc.map_batches(keep_conflicts, batch_format="pyarrow")
+    n_conf = conf_ds.count()
+    if n_conf > MERGE_CONFLICTS_CAP:
+        raise ValueError(
+            f"index union found {n_conf:,} conflicting doc_ids (same id, "
+            f"different content in both inputs) — above the "
+            f"{MERGE_CONFLICTS_CAP:,} broadcast cap. The union's winner "
+            f"resolution broadcasts the conflict set to every term-merge "
+            f"task; a conflict set this large means the inputs are "
+            f"re-crawls of the SAME corpus, not a foreign-pod import. "
+            f"Rebuild from the union of the stagings instead "
+            f"(index/build.py), which resolves winners with a "
+            f"hash-partitioned shuffle and never broadcasts."
+        )
+    parts = conf_ds.take_all()
     conflicts = np.array(sorted(int(r["doc_id"]) for r in parts), dtype=np.int64)
 
     def pick(t: pa.Table) -> pa.Table:
@@ -173,7 +197,12 @@ def merge_indexes(dir_a: str, dir_b: str, out_dir: str,
         avgdl=avgdl, k1=BM25_K1, b=BM25_B, block_size=cfg.block_size,
         n_shards=cfg.n_shards, keep_positions=keep_pos,
     )
-    excl = conflicts if conflicts.size else None
+    # broadcast the conflict set ONCE (ray.put → zero-copy local fetch per
+    # task) instead of closure-capturing the array, which would ship it
+    # with every serialized term-merge task
+    import ray as _ray
+
+    excl_ref = _ray.put(conflicts) if conflicts.size else None
 
     def merge_group(t: pa.Table) -> pa.Table:
         # ALWAYS take the exact decode+re-encode path: the union changes
@@ -181,6 +210,7 @@ def merge_indexes(dir_a: str, dir_b: str, out_dir: str,
         # under-estimate the new tf-norms — inadmissible for WAND pruning.
         # Exact re-encoding restores tight, correct bounds; a union is rare
         # and costs the same as a compaction.
+        excl = _ray.get(excl_ref) if excl_ref is not None else None
         return concat._fallback_merge(t, exclude_src1=excl)
 
     # data-size the sort-shuffle: the partitioned-parquet read yields one
@@ -208,7 +238,7 @@ def merge_indexes(dir_a: str, dir_b: str, out_dir: str,
         b_staging = rd.read_parquet(os.path.join(dir_b, "staging"))
         if conflicts.size:
             def drop_conflicts(t: pa.Table) -> pa.Table:
-                keep = ~np.isin(t["doc_id"].to_numpy(), conflicts)
+                keep = ~np.isin(t["doc_id"].to_numpy(), _ray.get(excl_ref))
                 return t.filter(pa.array(keep))
 
             b_staging = b_staging.map_batches(drop_conflicts,

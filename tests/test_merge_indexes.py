@@ -164,6 +164,19 @@ def test_union_conflicting_content_resolves_to_a(ray_session, tmp_path_factory):
     ib = str(tmp_path_factory.mktemp("conf_idx_b"))
     im = str(tmp_path_factory.mktemp("conf_idx_m"))
     build_index([pb], BuildConfig(out_dir=ib))
+
+    # the conflict set is broadcast to every term-merge task; a cap guards
+    # the degenerate same-corpus-re-crawled shape where it is corpus-sized
+    import pears_lite_ray.index.merge as merge_mod
+
+    orig_cap = merge_mod.MERGE_CONFLICTS_CAP
+    merge_mod.MERGE_CONFLICTS_CAP = 5
+    try:
+        with pytest.raises(ValueError, match="broadcast cap"):
+            merge_indexes(ia, ib, im)
+    finally:
+        merge_mod.MERGE_CONFLICTS_CAP = orig_cap
+
     stats = merge_indexes(ia, ib, im)
 
     a = QueryEngine(ia)
